@@ -1,0 +1,182 @@
+"""Transformer blocks for the diffusion UNets (flax).
+
+Parity targets (reference, reimplemented TPU-first — channels-last, functional
+reference-feature passing instead of monkey-patched banks):
+  * ``CrossAttention``  ~ diffusers ``Attention`` (to_q/to_k/to_v/to_out).
+  * ``FeedForward``/``GEGLU`` ~ diffusers feed-forward (geglu).
+  * ``SpatialTransformerBlock`` unifies the reference's
+    ``BasicTransformerBlock`` (src/models/attention.py:14-297, ReferenceNet
+    writer) and ``TemporalBasicTransformerBlock`` (attention.py:300-445,
+    denoising-UNet reader) — the two have identical parameters; only the
+    runtime behaviour differs:
+      - ``capture_bank=True`` returns the post-norm1 hidden states, the exact
+        tensor the reference writer appends to ``module.bank``
+        (mutual_self_attention.py:138);
+      - ``ref_bank=...`` concatenates reference features into the
+        self-attention K/V (mutual_self_attention.py:147-165), with
+        CFG-unconditional rows masked back to self-only attention via an
+        additive bias (equivalent to the boolean-indexed re-attention at
+        mutual_self_attention.py:166-186).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from aniportrait_tpu.ops.attention import scaled_dot_product_attention
+
+NEG_INF = -1e9
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention with separate q and kv inputs.
+
+    Param names mirror the torch module for weight conversion:
+    ``to_q``, ``to_k``, ``to_v``, ``to_out_0``.
+    """
+
+    query_dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = None  # informational; kv dim from input
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, mask_bias=None):
+        """
+        Args:
+          x: (B, Sq, C) queries.
+          context: (B, Skv, Ckv) or None for self-attention.
+          mask_bias: optional additive bias broadcastable to (B, H, Sq, Skv).
+        """
+        inner = self.heads * self.dim_head
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")(
+            context
+        )
+        v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(
+            context
+        )
+        b, sq = q.shape[0], q.shape[1]
+        skv = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.dim_head)
+        k = k.reshape(b, skv, self.heads, self.dim_head)
+        v = v.reshape(b, skv, self.heads, self.dim_head)
+        out = scaled_dot_product_attention(q, k, v, bias=mask_bias)
+        out = out.reshape(b, sq, inner)
+        return nn.Dense(inner, use_bias=True, dtype=self.dtype, name="to_out_0")(out)
+
+
+class GEGLU(nn.Module):
+    """x -> proj -> split -> x * gelu(gate). Torch name: ``proj``."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward, mult=4. Torch names: ``net_0`` (GEGLU), ``net_2``."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return x
+
+
+def _ln(name):
+    # LayerNorm stats in fp32 for stability; torch default eps=1e-5.
+    return nn.LayerNorm(epsilon=1e-5, name=name)
+
+
+class SpatialTransformerBlock(nn.Module):
+    """norm1/attn1 (self, optionally +ref KV) -> norm2/attn2 (cross) ->
+    norm3/ff.  See module docstring for the write/read duality."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: Optional[int] = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        context=None,
+        ref_bank=None,
+        drop_ref=None,
+        video_length: int = 1,
+        capture_bank: bool = False,
+    ):
+        """
+        Args:
+          x: (B*F, S, C) tokens (F=1 for 2D/reference use).
+          context: (B*F, S_ctx, ctx_dim) CLIP tokens, or None.
+          ref_bank: optional (B, L_ref, C) reference features.
+          drop_ref: optional (B,) bool; True rows ignore ref tokens.
+          video_length: F (static).
+          capture_bank: return post-norm1 hidden states as bank.
+        Returns: (x, bank_or_None)
+        """
+        bank = None
+        h = _ln("norm1")(x).astype(self.dtype)
+        if capture_bank:
+            bank = h
+
+        attn1 = CrossAttention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+        )
+        if ref_bank is None:
+            x = x + attn1(h)
+        else:
+            hw = h.shape[1]
+            l_ref = ref_bank.shape[1]
+            bank_kv = jnp.repeat(
+                ref_bank.astype(self.dtype), video_length, axis=0
+            )  # (B*F, L, C)
+            kv = jnp.concatenate([h, bank_kv], axis=1)
+            bias = None
+            if drop_ref is not None:
+                row_drop = jnp.repeat(drop_ref, video_length, axis=0)  # (B*F,)
+                token_is_bank = jnp.concatenate(
+                    [jnp.zeros((hw,), bool), jnp.ones((l_ref,), bool)]
+                )
+                bias = jnp.where(
+                    row_drop[:, None, None, None]
+                    & token_is_bank[None, None, None, :],
+                    NEG_INF,
+                    0.0,
+                ).astype(self.dtype)
+            x = x + attn1(h, context=kv, mask_bias=bias)
+
+        if self.cross_attention_dim is not None:
+            h = _ln("norm2")(x).astype(self.dtype)
+            x = x + CrossAttention(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                cross_attention_dim=self.cross_attention_dim,
+                dtype=self.dtype,
+                name="attn2",
+            )(h, context=context)
+
+        h = _ln("norm3")(x).astype(self.dtype)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x, bank

@@ -1,0 +1,99 @@
+"""AnimateDiff-style temporal motion module (flax, channels-last).
+
+Parity target: reference ``src/models/motion_module.py`` —
+``VanillaTemporalModule`` wrapping ``TemporalTransformer3DModel``:
+GroupNorm (per-frame) -> Linear proj_in -> N x TemporalTransformerBlock
+(2x temporal self-attention + GEGLU FF) -> zero-init Linear proj_out ->
+residual.  Temporal attention runs over the frame axis per spatial location
+with an interleaved sinusoidal positional encoding
+(motion_module.py:262-277, 351-388; shipped config: 8 heads, 1 block,
+PE max_len 32 — configs/inference/inference_v2.yaml:14-21).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from aniportrait_tpu.models.attention import CrossAttention, FeedForward, _ln
+from aniportrait_tpu.models.embeddings import sinusoidal_positional_encoding
+from aniportrait_tpu.models.resnet import fold_frames, group_norm, unfold_frames
+
+
+class TemporalTransformerBlock(nn.Module):
+    """2x (LayerNorm -> temporal self-attn (+PE) -> residual) -> FF."""
+
+    dim: int
+    heads: int
+    num_attention_blocks: int = 2
+    pe_max_len: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B*H*W, F, C) temporal tokens."""
+        f = x.shape[1]
+        pe = jnp.asarray(
+            sinusoidal_positional_encoding(self.pe_max_len, self.dim)[:, :f]
+        )
+        for i in range(self.num_attention_blocks):
+            h = _ln(f"norm_{i}")(x).astype(self.dtype)
+            h = h + pe.astype(self.dtype)  # PE applied to normed input
+            x = x + CrossAttention(
+                self.dim,
+                self.heads,
+                self.dim // self.heads,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )(h)
+        h = _ln("ff_norm")(x).astype(self.dtype)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class MotionModule(nn.Module):
+    """Temporal transformer on (b, f, h, w, c); returns same shape.
+
+    proj_out is zero-initialised (motion_module.py:72-75) so an untrained
+    motion module is an identity — load-bearing for stage-2 training and
+    for running the stage-1 graph with motion disabled.
+    """
+
+    channels: int
+    heads: int = 8
+    num_transformer_blocks: int = 1
+    num_attention_blocks: int = 2
+    pe_max_len: int = 32
+    norm_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, h, w, c = x.shape
+        residual = x
+
+        scale = self.param("norm_scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("norm_bias", nn.initializers.zeros, (c,), jnp.float32)
+        hid = unfold_frames(
+            group_norm(fold_frames(x), scale, bias, self.norm_groups, 1e-6), f
+        )
+
+        # (b, f, h, w, c) -> (b*h*w, f, c) temporal tokens
+        hid = hid.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        hid = nn.Dense(c, dtype=self.dtype, name="proj_in")(hid)
+
+        for i in range(self.num_transformer_blocks):
+            hid = TemporalTransformerBlock(
+                dim=c,
+                heads=self.heads,
+                num_attention_blocks=self.num_attention_blocks,
+                pe_max_len=self.pe_max_len,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(hid)
+
+        hid = nn.Dense(
+            c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
+        )(hid)
+        hid = hid.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return residual + hid

@@ -1,0 +1,148 @@
+"""Shape/jit smoke tests for the model stack at tiny scale.
+
+Everything is jitted (eager per-op compile is pathologically slow on this
+host) and params are built once per module via jitted init.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aniportrait_tpu.models.pose_guider import PoseGuider
+from aniportrait_tpu.models.unet import AniUNet
+from aniportrait_tpu.models.vae import AutoencoderKL
+from aniportrait_tpu.models.motion_module import MotionModule
+
+TINY = dict(block_out_channels=(32, 64, 64, 64), attention_heads=8, cross_attention_dim=16)
+B, F, HW = 2, 2, 8
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_pose_features(b, f):
+    return [
+        jnp.zeros((b, f, 8, 8, 32)),
+        jnp.zeros((b, f, 4, 4, 32)),
+        jnp.zeros((b, f, 2, 2, 64)),
+        jnp.zeros((b, f, 1, 1, 64)),
+        jnp.zeros((b, f, 1, 1, 64)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def ref_setup():
+    net = AniUNet(**TINY, use_motion_module=False, has_output_head=False)
+    x = jnp.zeros((B, 1, HW, HW, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, 1, 16))
+    params = jax.jit(lambda k: net.init(k, x, t, ctx, capture_banks=True))(KEY)
+    apply = jax.jit(lambda p, x, t, c: net.apply(p, x, t, c, capture_banks=True))
+    return net, params, apply
+
+
+@pytest.fixture(scope="module")
+def banks(ref_setup):
+    net, params, apply = ref_setup
+    x = jax.random.normal(KEY, (B, 1, HW, HW, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 16))
+    _, banks = apply(params, x, t, ctx)
+    return banks
+
+
+@pytest.fixture(scope="module")
+def denoise_setup(banks):
+    net = AniUNet(**TINY, use_motion_module=True)
+    x = jnp.zeros((B, F, HW, HW, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jnp.zeros((B, 1, 16))
+    pose = tiny_pose_features(B, F)
+    drop = jnp.zeros((B,), bool)
+    params = jax.jit(
+        lambda k: net.init(
+            k, x, t, ctx, pose_cond_fea=pose, ref_banks=banks, drop_ref=drop
+        )
+    )(KEY)
+    apply = jax.jit(
+        lambda p, x, t, c, pose, banks, drop: net.apply(
+            p, x, t, c, pose_cond_fea=pose, ref_banks=banks, drop_ref=drop
+        )
+    )
+    return net, params, apply
+
+
+def test_reference_unet_banks(banks):
+    # 6 down + 1 mid + 9 up = 16 banks
+    assert len(banks) == 16
+    assert set(k.split("_")[0] for k in banks) == {"down", "mid", "up"}
+    assert banks["down_0_0"].shape == (B, 64, 32)
+    assert banks["mid_0"].shape == (B, 1, 64)
+    for v in banks.values():
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_denoising_unet_forward(denoise_setup, banks):
+    net, params, apply = denoise_setup
+    x = jax.random.normal(KEY, (B, F, HW, HW, 4))
+    t = jnp.full((B,), 999, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 16))
+    pose = tiny_pose_features(B, F)
+    drop = jnp.array([True, False])
+    out, _ = apply(params, x, t, ctx, pose, banks, drop)
+    assert out.shape == (B, F, HW, HW, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_uncond_mask_equals_no_bank(denoise_setup, banks):
+    """drop_ref=True rows == running with zero-information banks removed.
+
+    We check that a drop_ref=True row is invariant to the bank *values*."""
+    net, params, apply = denoise_setup
+    x = jax.random.normal(KEY, (B, F, HW, HW, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 16))
+    pose = tiny_pose_features(B, F)
+    drop = jnp.array([True, False])
+    out1, _ = apply(params, x, t, ctx, pose, banks, drop)
+    banks2 = jax.tree.map(lambda b: b * 3.0 + 1.0, banks)
+    out2, _ = apply(params, x, t, ctx, pose, banks2, drop)
+    out1, out2 = np.asarray(out1), np.asarray(out2)
+    # row 0 ignores banks -> identical; row 1 reads banks -> must differ
+    np.testing.assert_allclose(out1[0], out2[0], atol=1e-5)
+    assert np.abs(out1[1] - out2[1]).max() > 1e-4
+
+
+def test_motion_module_zero_init_identity():
+    mm = MotionModule(channels=32)
+    x = jax.random.normal(KEY, (1, 4, 4, 4, 32))
+    params = jax.jit(mm.init)(KEY, x)
+    y = jax.jit(mm.apply)(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
+
+
+def test_pose_guider_shapes():
+    pg = PoseGuider(noise_latent_channels=32)
+    pose = jnp.zeros((1, 2, 64, 64, 3))
+    variables = jax.jit(pg.init)(KEY, pose)
+    fea = jax.jit(pg.apply)(variables, pose)
+    shapes = [f.shape for f in fea]
+    assert shapes == [
+        (1, 2, 8, 8, 32),
+        (1, 2, 4, 4, 32),
+        (1, 2, 2, 2, 64),
+        (1, 2, 1, 1, 128),
+        (1, 2, 1, 1, 128),
+    ]
+    # zero-init final_proj => first feature map is exactly zero
+    np.testing.assert_allclose(np.asarray(fea[0]), 0.0)
+
+
+def test_vae_roundtrip_shapes():
+    vae = AutoencoderKL(block_out_channels=(32, 32, 64, 64))
+    x = jax.random.normal(KEY, (1, 32, 32, 3))
+    params = jax.jit(vae.init)(KEY, x)
+    mean, logvar = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))(params, x)
+    assert mean.shape == (1, 4, 4, 4)
+    recon = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))(params, mean)
+    assert recon.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(recon)).all()
