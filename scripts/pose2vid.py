@@ -1,0 +1,127 @@
+"""Pose-video-driven generation CLI.
+
+Parity target: reference ``scripts/pose2vid.py`` — flags -W/-H/-L/--seed/
+--cfg/--steps/--fps/-acc/--fi_step, prompt YAML with ``test_cases`` mapping
+ref image -> pose videos; writes a 3-row (ref/pose/result) grid mp4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="./configs/prompts/animation.yaml")
+    parser.add_argument("-W", type=int, default=512)
+    parser.add_argument("-H", type=int, default=512)
+    parser.add_argument("-L", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--cfg", type=float, default=3.5)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("-acc", "--accelerate", action="store_true")
+    parser.add_argument("--fi_step", type=int, default=3)
+    return parser.parse_args()
+
+
+def main():
+    import cv2
+
+    from aniportrait_tpu.config import load_config
+    from aniportrait_tpu.utils.draw_util import FaceMeshVisualizer
+    from aniportrait_tpu.utils.frame_interpolation import (
+        batch_images_interpolation_tool,
+        init_frame_interpolation_model,
+    )
+    from aniportrait_tpu.utils.mp_utils import LMKExtractor
+    from aniportrait_tpu.utils.util import get_fps, read_frames, save_videos_grid
+    from scripts.loader import load_pipeline
+
+    args = parse_args()
+    config = load_config(args.config)
+    pipe = load_pipeline(config)
+
+    date_str = datetime.now().strftime("%Y%m%d")
+    time_str = datetime.now().strftime("%H%M")
+    save_dir = Path(f"output/{date_str}/{time_str}--seed_{args.seed}-{args.W}x{args.H}")
+    save_dir.mkdir(exist_ok=True, parents=True)
+
+    lmk_extractor = LMKExtractor()
+    vis = FaceMeshVisualizer(forehead_edge=False)
+    frame_inter_model = (
+        init_frame_interpolation_model() if args.accelerate else None
+    )
+
+    for ref_image_path in config["test_cases"].keys():
+        for pose_video_path in config["test_cases"][ref_image_path]:
+            ref_name = Path(ref_image_path).stem
+            pose_name = Path(pose_video_path).stem.replace("_kps", "")
+
+            ref_rgb = cv2.cvtColor(cv2.imread(ref_image_path), cv2.COLOR_BGR2RGB)
+            ref_bgr = cv2.resize(cv2.cvtColor(ref_rgb, cv2.COLOR_RGB2BGR), (args.H, args.W))
+            face_result = lmk_extractor(ref_bgr)
+            assert face_result is not None, "No face detected."
+            lmks = np.array(face_result["lmks"]).astype(np.float32)
+            ref_pose = vis.draw_landmarks(
+                (ref_bgr.shape[1], ref_bgr.shape[0]), lmks, normed=True
+            )
+
+            pose_frames = read_frames(pose_video_path)
+            src_fps = get_fps(pose_video_path)
+            sub_step = args.fi_step if args.accelerate else 1
+            L = len(pose_frames) if args.L is None else args.L
+            pose_list = [
+                cv2.resize(f, (args.W, args.H)) for f in pose_frames[:L:sub_step]
+            ]
+            video_length = len(pose_list)
+
+            video = pipe(
+                ref_rgb,
+                pose_list,
+                ref_pose,
+                args.W,
+                args.H,
+                video_length,
+                args.steps,
+                args.cfg,
+                seed=args.seed,
+            )  # (L, H, W, 3) in [0,1]
+
+            if args.accelerate:
+                video = batch_images_interpolation_tool(
+                    video[None], frame_inter_model, inter_frames=args.fi_step - 1
+                )[0]
+
+            ref_row = np.repeat(
+                (cv2.resize(ref_rgb, (args.W, args.H)).astype(np.float32) / 255)[None],
+                video.shape[0],
+                axis=0,
+            )
+            pose_row = (
+                np.stack(
+                    [
+                        cv2.resize(f, (args.W, args.H)).astype(np.float32) / 255
+                        for f in pose_frames[: video.shape[0]]
+                    ]
+                )
+                if args.accelerate
+                else np.stack([p.astype(np.float32) / 255 for p in pose_list])
+            )[: video.shape[0]]
+            grid = np.stack([ref_row, pose_row, video])
+
+            save_path = (
+                f"{save_dir}/{ref_name}_{pose_name}_{args.H}x{args.W}"
+                f"_{int(args.cfg)}_{time_str}.mp4"
+            )
+            save_videos_grid(grid, save_path, fps=src_fps if args.L is None else args.fps)
+            print(f"saved {save_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""End-to-end pipeline smoke test at tiny scale (windowed + CFG paths)."""
+
+import numpy as np
+import pytest
+
+from aniportrait_tpu.factory import build_model_defs, init_random_params
+from aniportrait_tpu.pipelines.pose2vid import Pose2ImagePipeline, Pose2VideoPipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    defs = build_model_defs(size="tiny", use_motion_module=True)
+    modules = init_random_params(defs)
+    return Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2, window_batch=2
+    )
+
+
+def test_pose2vid_windowed(pipeline):
+    rs = np.random.RandomState(0)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(6)]
+    video = pipeline(
+        ref, poses, None,
+        width=64, height=64, video_length=6,
+        num_inference_steps=2, guidance_scale=3.5, seed=1,
+        decode_chunk=2,
+    )
+    assert video.shape == (6, 64, 64, 3)
+    assert np.isfinite(video).all()
+    assert video.min() >= 0.0 and video.max() <= 1.0
+
+
+def test_pose2img(pipeline):
+    p2i = Pose2ImagePipeline(
+        pipeline.m, context_frames=4, context_overlap=2, window_batch=2
+    )
+    rs = np.random.RandomState(1)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    pose = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    img = p2i(ref, pose, width=64, height=64, num_inference_steps=2, seed=2)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+
+
+def test_deterministic_seed(pipeline):
+    rs = np.random.RandomState(2)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(3)]
+    kw = dict(width=64, height=64, video_length=3, num_inference_steps=2, seed=7)
+    v1 = pipeline(ref, poses, None, **kw)
+    v2 = pipeline(ref, poses, None, **kw)
+    np.testing.assert_array_equal(v1, v2)

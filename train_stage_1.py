@@ -1,0 +1,198 @@
+"""Stage-1 (image) training entry point.
+
+Parity target: reference ``train_stage_1.py`` — trains ReferenceNet (minus
+up-block 3), denoising UNet (no motion modules), and PoseGuider on single
+frames with Min-SNR loss, noise offset, CFG dropout; VAE/CLIP frozen;
+checkpoints every N steps keeping 1; per-epoch deployable .npz dumps.
+
+TPU mapping: one jitted train step, data-parallel over a 1-D device mesh
+(replaces Accelerate DDP); Orbax-free simple npz checkpointing this round.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="./configs/train/stage1.yaml")
+    p.add_argument("--random-init", action="store_true",
+                   help="skip pretrained weight loading (smoke runs)")
+    p.add_argument("--max-steps", type=int, default=None)
+    return p.parse_args()
+
+
+def save_flat_npz(path, tree):
+    import jax
+
+    flat = {}
+
+    def visit(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    visit("", jax.device_get(tree))
+    np.savez(path, **flat)
+
+
+def load_flat_npz(path):
+    data = np.load(path)
+    tree = {}
+    for key in data.files:
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from aniportrait_tpu.config import load_config
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aniportrait_tpu.schedulers import DDIMScheduler
+    from aniportrait_tpu.train.dataset import FaceDataset
+    from aniportrait_tpu.train.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from aniportrait_tpu.utils.util import delete_additional_ckpt, seed_everything
+
+    cfg = load_config(args.config)
+    seed_everything(cfg.seed)
+
+    train_sched_kwargs = cfg.noise_scheduler_kwargs.to_dict()
+    if cfg.get("enable_zero_snr"):
+        train_sched_kwargs.update(
+            rescale_betas_zero_snr=True,
+            timestep_spacing="trailing",
+            prediction_type="v_prediction",
+        )
+    scheduler = DDIMScheduler(**train_sched_kwargs)
+    prediction_type = train_sched_kwargs.get("prediction_type", "epsilon")
+
+    defs = build_model_defs(size="full", use_motion_module=False)
+    defs["scheduler"] = scheduler
+
+    if args.random_init:
+        modules = init_random_params(defs)
+        vae_params, clip_params = modules.vae_params, modules.clip_params
+        params = {
+            "reference": modules.reference_params,
+            "denoising": modules.denoising_params,
+            "pose_guider": modules.pose_guider_variables["params"],
+        }
+        batch_stats = modules.pose_guider_variables["batch_stats"]
+    else:
+        from scripts.loader import _find_weights
+        from aniportrait_tpu.weights.convert import (
+            convert_clip_vision,
+            convert_unet,
+            convert_vae,
+            load_torch_state_dict,
+        )
+
+        vae_params, _ = convert_vae(
+            load_torch_state_dict(_find_weights(str(cfg.vae_model_path)))
+        )
+        clip_params, _ = convert_clip_vision(
+            load_torch_state_dict(_find_weights(str(cfg.image_encoder_path)))
+        )
+        base_sd = load_torch_state_dict(
+            _find_weights(str(cfg.base_model_path), "unet")
+        )
+        ref_params, _ = convert_unet(base_sd, has_output_head=False)
+        den_params, _ = convert_unet(base_sd, has_output_head=True)
+        modules = init_random_params(defs)  # random pose guider
+        params = {
+            "reference": ref_params,
+            "denoising": den_params,
+            "pose_guider": modules.pose_guider_variables["params"],
+        }
+        batch_stats = modules.pose_guider_variables["batch_stats"]
+        vae_params = jax.tree.map(jnp.asarray, vae_params)
+        clip_params = jax.tree.map(jnp.asarray, clip_params)
+        params = jax.tree.map(jnp.asarray, params)
+
+    tx = make_optimizer(
+        params,
+        stage=1,
+        learning_rate=float(cfg.solver.learning_rate),
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        max_grad_norm=float(cfg.solver.max_grad_norm),
+    )
+    train_step = make_train_step(
+        defs,
+        vae_params,
+        clip_params,
+        tx,
+        scheduler,
+        prediction_type=prediction_type,
+        snr_gamma=float(cfg.get("snr_gamma", 0.0)),
+        noise_offset=float(cfg.get("noise_offset", 0.0)),
+        uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
+    )
+
+    mesh = make_mesh()
+    state = init_train_state(params, batch_stats, tx)
+    state = replicate(state, mesh)
+
+    dataset = FaceDataset(
+        json_path=str(cfg.data.json_path),
+        sample_size=tuple(cfg.data.sample_size),
+        sample_stride=int(cfg.data.sample_stride),
+        is_image=True,
+        seed=int(cfg.seed),
+    )
+
+    save_dir = Path(cfg.output_dir) / cfg.exp_name
+    save_dir.mkdir(parents=True, exist_ok=True)
+    log_path = save_dir / "train_log.jsonl"
+
+    max_steps = args.max_steps or int(cfg.solver.max_train_steps)
+    rng = jax.random.PRNGKey(int(cfg.seed))
+    t0 = time.time()
+    with mesh:
+        for step, batch in enumerate(dataset.batches(int(cfg.train_bs))):
+            if step >= max_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, shard_batch(batch, mesh), sub)
+            if step % 10 == 0:
+                loss = float(metrics["loss"])
+                rec = {"step": step, "loss": loss, "elapsed_s": round(time.time() - t0, 1)}
+                print(rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if (step + 1) % int(cfg.checkpointing_steps) == 0:
+                ckpt_dir = save_dir / f"checkpoint-{step + 1}"
+                ckpt_dir.mkdir(exist_ok=True)
+                save_flat_npz(ckpt_dir / "params.npz", state.params)
+                save_flat_npz(ckpt_dir / "batch_stats.npz", state.batch_stats)
+                delete_additional_ckpt(str(save_dir), 1)
+
+    save_flat_npz(save_dir / "final_params.npz", state.params)
+    print(f"done, saved to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Stage-2 (motion module) training entry point.
+
+Parity target: reference ``train_stage_2.py`` — loads stage-1 weights +
+AnimateDiff ``mm_sd_v15_v2.ckpt`` into the 3D UNet (from_pretrained_2d
+semantics), freezes everything except ``motion_modules``, trains on
+16-frame clips (stride-1 with 50% stride-4 augmentation), saves a
+motion-module-only checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from train_stage_1 import load_flat_npz, save_flat_npz
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="./configs/train/stage2.yaml")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--max-steps", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from aniportrait_tpu.config import load_config
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aniportrait_tpu.schedulers import DDIMScheduler
+    from aniportrait_tpu.train.dataset import FaceDataset
+    from aniportrait_tpu.train.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from aniportrait_tpu.utils.util import delete_additional_ckpt, seed_everything
+
+    cfg = load_config(args.config)
+    seed_everything(cfg.seed)
+
+    train_sched_kwargs = cfg.noise_scheduler_kwargs.to_dict()
+    if cfg.get("enable_zero_snr"):
+        train_sched_kwargs.update(
+            rescale_betas_zero_snr=True,
+            timestep_spacing="trailing",
+            prediction_type="v_prediction",
+        )
+    scheduler = DDIMScheduler(**train_sched_kwargs)
+    prediction_type = train_sched_kwargs.get("prediction_type", "epsilon")
+
+    defs = build_model_defs(size="full", use_motion_module=True)
+    defs["scheduler"] = scheduler
+    modules = init_random_params(defs)
+
+    params = {
+        "reference": modules.reference_params,
+        "denoising": modules.denoising_params,
+        "pose_guider": modules.pose_guider_variables["params"],
+    }
+    batch_stats = modules.pose_guider_variables["batch_stats"]
+    vae_params, clip_params = modules.vae_params, modules.clip_params
+
+    if not args.random_init:
+        from scripts.loader import _find_weights
+        from aniportrait_tpu.weights.convert import (
+            _deep_merge,
+            convert_clip_vision,
+            convert_unet,
+            convert_vae,
+            load_torch_state_dict,
+        )
+
+        vae_params, _ = convert_vae(
+            load_torch_state_dict(_find_weights(str(cfg.vae_model_path)))
+        )
+        clip_params, _ = convert_clip_vision(
+            load_torch_state_dict(_find_weights(str(cfg.image_encoder_path)))
+        )
+        # stage-1 output (npz trees) + AnimateDiff motion module
+        s1_dir = Path(str(cfg.stage1_ckpt_dir))
+        s1 = load_flat_npz(s1_dir / f"checkpoint-{cfg.stage1_ckpt_step}" / "params.npz")
+        _deep_merge(params["reference"], s1["reference"])
+        _deep_merge(params["denoising"], s1["denoising"])
+        _deep_merge(params["pose_guider"], s1["pose_guider"])
+        if cfg.get("mm_path"):
+            mm_params, _ = convert_unet(
+                load_torch_state_dict(str(cfg.mm_path)), has_output_head=True
+            )
+            _deep_merge(params["denoising"], mm_params)
+        params = jax.tree.map(jnp.asarray, params)
+        vae_params = jax.tree.map(jnp.asarray, vae_params)
+        clip_params = jax.tree.map(jnp.asarray, clip_params)
+
+    tx = make_optimizer(
+        params,
+        stage=2,
+        learning_rate=float(cfg.solver.learning_rate),
+        weight_decay=float(cfg.solver.adam_weight_decay),
+        max_grad_norm=float(cfg.solver.max_grad_norm),
+    )
+    train_step = make_train_step(
+        defs,
+        vae_params,
+        clip_params,
+        tx,
+        scheduler,
+        prediction_type=prediction_type,
+        snr_gamma=float(cfg.get("snr_gamma", 0.0)),
+        noise_offset=float(cfg.get("noise_offset", 0.0)),
+        uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
+    )
+
+    mesh = make_mesh()
+    state = init_train_state(params, batch_stats, tx)
+    state = replicate(state, mesh)
+
+    dataset = FaceDataset(
+        json_path=str(cfg.data.json_path),
+        sample_size=tuple(cfg.data.sample_size),
+        sample_stride=int(cfg.data.sample_stride),
+        sample_n_frames=int(cfg.data.sample_n_frames),
+        sample_stride_aug=bool(cfg.data.get("sample_stride_aug", False)),
+        is_image=False,
+        seed=int(cfg.seed),
+    )
+
+    save_dir = Path(cfg.output_dir) / cfg.exp_name
+    save_dir.mkdir(parents=True, exist_ok=True)
+    log_path = save_dir / "train_log.jsonl"
+
+    max_steps = args.max_steps or int(cfg.solver.max_train_steps)
+    rng = jax.random.PRNGKey(int(cfg.seed))
+    t0 = time.time()
+    with mesh:
+        for step, batch in enumerate(dataset.batches(int(cfg.train_bs))):
+            if step >= max_steps:
+                break
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, shard_batch(batch, mesh), sub)
+            if step % 10 == 0:
+                rec = {
+                    "step": step,
+                    "loss": float(metrics["loss"]),
+                    "elapsed_s": round(time.time() - t0, 1),
+                }
+                print(rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if (step + 1) % int(cfg.checkpointing_steps) == 0:
+                ckpt_dir = save_dir / f"checkpoint-{step + 1}"
+                ckpt_dir.mkdir(exist_ok=True)
+                save_flat_npz(ckpt_dir / "params.npz", state.params)
+                delete_additional_ckpt(str(save_dir), 1)
+
+    # motion-module-only deployable dump (train_stage_2.py:743-771)
+    motion_only = {
+        k: v for k, v in jax.device_get(state.params)["denoising"].items()
+        if "motion" in k
+    }
+    save_flat_npz(save_dir / "motion_module_final.npz", motion_only)
+    print(f"done, saved to {save_dir}")
+
+
+if __name__ == "__main__":
+    main()
