@@ -82,6 +82,9 @@ class Pose2VideoPipeline:
         self.context_overlap = context_overlap
         self.window_batch = window_batch
         self._compiled: Dict[Any, Any] = {}
+        from aniportrait_tpu.utils.profiling import PhaseTimer
+
+        self.timer = PhaseTimer()
         self._encode_ref_jit = jax.jit(self._encode_reference)
         self._pose_features_jit = jax.jit(self._pose_features)
         self._decode_chunk_jit = None
@@ -287,15 +290,21 @@ class Pose2VideoPipeline:
             [prepare_image(p, width, height) for p in pose_images], axis=0
         )[None]  # (1,L,H,W,3)
 
-        ctx_cfg, _, banks = self._encode_ref_jit(jnp.asarray(ref), jnp.asarray(clip_img))
-        pose_fea = self._pose_features_jit(jnp.asarray(poses))
+        with self.timer.phase("encode_reference"):
+            ctx_cfg, _, banks = jax.block_until_ready(
+                self._encode_ref_jit(jnp.asarray(ref), jnp.asarray(clip_img))
+            )
+        with self.timer.phase("pose_features"):
+            pose_fea = jax.block_until_ready(self._pose_features_jit(jnp.asarray(poses)))
 
         hlat, wlat = height // 8, width // 8
         key = (video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed)
         if key not in self._compiled:
-            self._compiled[key] = self._build_sampler(
-                video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed
-            )
+            with self.timer.phase("build_sampler"):
+                self._compiled[key] = self._build_sampler(
+                    video_length, hlat, wlat, num_inference_steps, guidance_scale,
+                    windowed,
+                )
         sampler = self._compiled[key]
 
         rng = jax.random.PRNGKey(seed)
@@ -303,8 +312,10 @@ class Pose2VideoPipeline:
             rng, (1, video_length, hlat, wlat, 4), jnp.float32
         ) * self.m.scheduler.init_noise_sigma
 
-        latents = sampler(latents, ctx_cfg, banks, pose_fea)
-        video = self._decode(latents, decode_chunk)
+        with self.timer.phase("denoise"):
+            latents = jax.block_until_ready(sampler(latents, ctx_cfg, banks, pose_fea))
+        with self.timer.phase("vae_decode"):
+            video = jax.block_until_ready(self._decode(latents, decode_chunk))
         return np.asarray(video)
 
 

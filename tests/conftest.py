@@ -11,7 +11,15 @@ Performance notes for this environment (single CPU core):
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force: the environment presets JAX_PLATFORMS=axon (the TPU tunnel);
+# tests must run on the local CPU backend with virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# keep transformers from importing TensorFlow/Flax integrations: TF's
+# threadpools deadlock on this 1-core host and its oneDNN init perturbs
+# torch CPU numerics (breaks parity tolerances)
+os.environ["USE_TF"] = "0"
+os.environ["USE_TORCH"] = "1"
+os.environ.setdefault("TRANSFORMERS_NO_ADVISORY_WARNINGS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +29,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_default_prng_impl", "rbg")
-jax.config.update("jax_compilation_cache_dir", "/tmp/aniportrait_jax_cache")
+# XLA:CPU on this host lowers f32 matmuls to bf16 (oneDNN fast-math) —
+# ~1e-1 abs error on a 256x256 matmul, which breaks parity tests.  Force
+# true-f32 contractions in tests.  (On TPU we keep the default: bf16 MXU
+# passes are the intended production precision.)
+jax.config.update("jax_default_matmul_precision", "highest")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)

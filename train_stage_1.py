@@ -154,6 +154,18 @@ def main():
 
     mesh = make_mesh()
     state = init_train_state(params, batch_stats, tx)
+
+    save_dir_early = Path(cfg.output_dir) / cfg.exp_name
+    start_step = 0
+    if str(cfg.get("resume_from_checkpoint", "")) == "latest":
+        from aniportrait_tpu.train.checkpoint import latest_step, restore_checkpoint
+
+        ckpt_root = str(save_dir_early / "orbax")
+        step_found = latest_step(ckpt_root)
+        if step_found is not None:
+            state, start_step = restore_checkpoint(ckpt_root, state, step_found)
+            print(f"resumed from step {start_step}")
+
     state = replicate(state, mesh)
 
     dataset = FaceDataset(
@@ -184,11 +196,9 @@ def main():
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
             if (step + 1) % int(cfg.checkpointing_steps) == 0:
-                ckpt_dir = save_dir / f"checkpoint-{step + 1}"
-                ckpt_dir.mkdir(exist_ok=True)
-                save_flat_npz(ckpt_dir / "params.npz", state.params)
-                save_flat_npz(ckpt_dir / "batch_stats.npz", state.batch_stats)
-                delete_additional_ckpt(str(save_dir), 1)
+                from aniportrait_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(str(save_dir / "orbax"), state, step + 1, keep=1)
 
     save_flat_npz(save_dir / "final_params.npz", state.params)
     print(f"done, saved to {save_dir}")

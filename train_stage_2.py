@@ -90,7 +90,12 @@ def main():
         )
         # stage-1 output (npz trees) + AnimateDiff motion module
         s1_dir = Path(str(cfg.stage1_ckpt_dir))
-        s1 = load_flat_npz(s1_dir / f"checkpoint-{cfg.stage1_ckpt_step}" / "params.npz")
+        if (s1_dir / "final_params.npz").exists():
+            s1 = load_flat_npz(s1_dir / "final_params.npz")
+        else:
+            s1 = load_flat_npz(
+                s1_dir / f"checkpoint-{cfg.stage1_ckpt_step}" / "params.npz"
+            )
         _deep_merge(params["reference"], s1["reference"])
         _deep_merge(params["denoising"], s1["denoising"])
         _deep_merge(params["pose_guider"], s1["pose_guider"])
@@ -159,10 +164,9 @@ def main():
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
             if (step + 1) % int(cfg.checkpointing_steps) == 0:
-                ckpt_dir = save_dir / f"checkpoint-{step + 1}"
-                ckpt_dir.mkdir(exist_ok=True)
-                save_flat_npz(ckpt_dir / "params.npz", state.params)
-                delete_additional_ckpt(str(save_dir), 1)
+                from aniportrait_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(str(save_dir / "orbax"), state, step + 1, keep=1)
 
     # motion-module-only deployable dump (train_stage_2.py:743-771)
     motion_only = {
