@@ -104,6 +104,16 @@ class MediaPipeBackend:
         }
 
 
+class _CallableBackend:
+    """Adapts a plain callable (e.g. FaceLandmarkerLite) to the backend API."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def detect(self, image_bgr, key=None):
+        return self.fn(image_bgr)
+
+
 class LMKExtractor:
     """Reference-compatible callable (mp_utils.py:19-94)."""
 
@@ -114,8 +124,17 @@ class LMKExtractor:
 
                 backend = "mediapipe"
             except ImportError:
-                backend = "unavailable"
-        if backend == "mediapipe":
+                try:
+                    import tensorflow  # noqa: F401
+
+                    backend = "tflite"
+                except ImportError:
+                    backend = "unavailable"
+        if backend == "tflite":
+            from aniportrait_tpu.landmark import FaceLandmarkerLite
+
+            self.backend = _CallableBackend(FaceLandmarkerLite(**kwargs))
+        elif backend == "mediapipe":
             self.backend = MediaPipeBackend(**kwargs)
         elif backend == "precomputed":
             self.backend = PrecomputedBackend(**kwargs)
