@@ -55,31 +55,50 @@ BLENDSHAPE_SUBSET = [
 ]
 
 
-def _tf_interpreter(model_content: bytes):
-    import tensorflow as tf
+class _TFLiteWrapper:
+    def __init__(self, model_content: bytes):
+        import tensorflow as tf
 
-    it = tf.lite.Interpreter(model_content=model_content)
-    it.allocate_tensors()
-    return it
+        self.it = tf.lite.Interpreter(model_content=model_content)
+        self.it.allocate_tensors()
+
+    def run(self, inputs: np.ndarray):
+        d = self.it.get_input_details()[0]
+        self.it.set_tensor(d["index"], inputs)
+        self.it.invoke()
+        return [self.it.get_tensor(o["index"]) for o in self.it.get_output_details()]
+
+
+def _make_interpreter(model_content: bytes, engine: str):
+    if engine == "native":
+        from aniportrait_tpu.landmark.native import NativeInterpreter
+
+        return NativeInterpreter(model_content)
+    return _TFLiteWrapper(model_content)
 
 
 def _run(it, inputs: np.ndarray):
-    in_det = it.get_input_details()[0]
-    it.set_tensor(in_det["index"], inputs)
-    it.invoke()
-    return [it.get_tensor(d["index"]) for d in it.get_output_details()]
+    return it.run(inputs)
 
 
 class FaceLandmarkerLite:
-    def __init__(self, task_path: Optional[str] = None, min_detection_score: float = 0.5):
+    """engine: 'tflite' (XNNPACK via tf.lite, fastest) or 'native' (the
+    in-repo C++ interpreter, native/tflite_runner/)."""
+
+    def __init__(
+        self,
+        task_path: Optional[str] = None,
+        min_detection_score: float = 0.5,
+        engine: str = "tflite",
+    ):
         task_path = task_path or os.path.abspath(DEFAULT_TASK)
         with zipfile.ZipFile(task_path) as z:
             det_bytes = z.read("face_detector.tflite")
             lmk_bytes = z.read("face_landmarks_detector.tflite")
             bs_bytes = z.read("face_blendshapes.tflite")
-        self.det = _tf_interpreter(det_bytes)
-        self.lmk = _tf_interpreter(lmk_bytes)
-        self.bs = _tf_interpreter(bs_bytes)
+        self.det = _make_interpreter(det_bytes, engine)
+        self.lmk = _make_interpreter(lmk_bytes, engine)
+        self.bs = _make_interpreter(bs_bytes, engine)
         self.anchors = blazeface_short_range_anchors()
         self.meta = load_geometry_metadata(task_path)
         self.solver = GeometrySolver(self.meta)
@@ -109,7 +128,10 @@ class FaceLandmarkerLite:
 
         regressors, scores = _run(self.det, inp[None])
         dets = decode_detections(
-            regressors[0], scores[0], self.anchors, min_score=self.min_detection_score
+            np.asarray(regressors).reshape(896, 16),
+            np.asarray(scores).reshape(896, 1),
+            self.anchors,
+            min_score=self.min_detection_score,
         )
         dets = weighted_nms(dets)
         if len(dets) == 0:
@@ -167,8 +189,8 @@ class FaceLandmarkerLite:
         crop, M = self._crop(rgb, cx, cy, side, rotation)
         inp = crop.astype(np.float32) / 255.0
         outs = _run(self.lmk, inp[None])
-        raw_lm = outs[0].reshape(478, 3) / 256.0  # crop-normalised
-        flag = float(outs[1].reshape(-1)[0])
+        raw_lm = np.asarray(outs[0]).reshape(478, 3) / 256.0  # crop-normalised
+        flag = float(np.asarray(outs[1]).reshape(-1)[0])
         if flag < 0 or flag > 1:
             flag = 1.0 / (1.0 + math.exp(-flag))
         if flag < 0.5:
@@ -185,7 +207,7 @@ class FaceLandmarkerLite:
 
         # blendshapes from the 146-point subset (normalised coords)
         subset = lmks[BLENDSHAPE_SUBSET, :2].astype(np.float32)
-        bs_scores = _run(self.bs, subset[None])[0].reshape(-1)
+        bs_scores = np.asarray(_run(self.bs, subset[None])[0]).reshape(-1)
         bs_values = bs_scores[1:].tolist()  # drop neutral (mp_utils.py:69)
 
         geo = self.solver.solve(lmks, (W, H))
