@@ -116,6 +116,43 @@ class FaceDataset:
             "clip_ref_image": clip_ref,
         }
 
+    def validation_sample(self, index: int) -> Dict[str, np.ndarray]:
+        """Raw uint8 sample for validation-time pipeline sampling
+        (reference FaceDatasetValid, dataset_face.py:22-166): reference
+        image, target frames, and re-rendered pose images, un-normalised."""
+        rng = self.rng
+        video_name = self.names[index % len(self.names)]
+        clips = self.data_dic[video_name]["clip_data_list"]
+        clip = clips[rng.randrange(len(clips))]
+        frame_paths = clip["frame_path_list"]
+        lmk_paths = clip["lmks_list"]
+        video_length = len(frame_paths)
+
+        if self.is_image:
+            batch_index = [rng.randint(0, video_length - 1)]
+        else:
+            clip_length = min(
+                video_length, (self.sample_n_frames - 1) * self.sample_stride + 1
+            )
+            start_idx = rng.randint(0, video_length - clip_length)
+            batch_index = np.linspace(
+                start_idx, start_idx + clip_length - 1, self.sample_n_frames, dtype=int
+            ).tolist()
+        ref_idx = rng.randint(0, video_length - 1)
+        return {
+            "ref_image": self._load_rgb(frame_paths[ref_idx]),
+            "frames": np.stack([self._load_rgb(frame_paths[i]) for i in batch_index]),
+            "pose_images": np.stack(
+                [
+                    self.visualizer.draw_landmarks(
+                        self.sample_size, np.load(lmk_paths[i]).astype(float),
+                        normed=True,
+                    )
+                    for i in batch_index
+                ]
+            ),
+        }
+
     def batches(self, batch_size: int, epochs: Optional[int] = None) -> Iterator[Dict]:
         """Simple host-side batch iterator (the reference uses a 4-worker
         torch DataLoader; single-host numpy loading here, prefetch later)."""

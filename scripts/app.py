@@ -135,6 +135,68 @@ def build_app(config_path: str = "./configs/prompts/animation_audio.yaml"):
             return final, ref_rgb
         return noaudio, ref_rgb
 
+    def video2video(ref_img, source_video, size=512, steps=25, length=150, seed=42):
+        import cv2
+
+        from aniportrait_tpu.utils.draw_util import FaceMeshVisualizer
+        from aniportrait_tpu.utils.mp_utils import LMKExtractor
+        from aniportrait_tpu.utils.util import (
+            crop_face,
+            get_fps,
+            mux_audio,
+            read_frames,
+            write_video,
+        )
+        from scripts.vid2vid import retarget_pose_and_expression
+
+        lmk_extractor = LMKExtractor()
+        vis = FaceMeshVisualizer(forehead_edge=False)
+
+        bgr = cv2.cvtColor(np.array(ref_img), cv2.COLOR_RGB2BGR)
+        cropped = crop_face(bgr, lmk_extractor)
+        if cropped is None:
+            return None, ref_img
+        ref_bgr = cv2.resize(cropped, (size, size))
+        ref_rgb = cv2.cvtColor(ref_bgr, cv2.COLOR_BGR2RGB)
+        face_result = lmk_extractor(ref_bgr)
+        if face_result is None:
+            return None, ref_img
+        lmks = np.array(face_result["lmks"]).astype(np.float32)
+        ref_pose = vis.draw_landmarks((size, size), lmks, normed=True)
+
+        frames = read_frames(source_video)
+        fps = get_fps(source_video)
+        step = 2 if fps == 60 else 1
+        results = []
+        shape = frames[0].shape[:2]
+        for f in frames[:: step][:length]:
+            res = lmk_extractor(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+            if res is None:
+                break
+            results.append(res)
+        projected = retarget_pose_and_expression(results, face_result, list(shape))
+        pose_images = [
+            cv2.resize(
+                vis.draw_landmarks((shape[1], shape[0]), v, normed=False),
+                (size, size),
+            )
+            for v in projected
+        ]
+        L = len(pose_images)
+        video = pipe(ref_rgb, pose_images, ref_pose, size, size, L, steps, 3.5,
+                     seed=seed)
+
+        out_dir = "output/gradio"
+        os.makedirs(out_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%H%M%S")
+        noaudio = f"{out_dir}/v2v_{stamp}_noaudio.mp4"
+        write_video([(f * 255).astype(np.uint8) for f in video], noaudio, fps=30)
+        final = noaudio.replace("_noaudio.mp4", ".mp4")
+        if mux_audio(noaudio, source_video, final):
+            os.remove(noaudio)
+            return final, ref_rgb
+        return noaudio, ref_rgb
+
     with gr.Blocks() as demo:
         gr.Markdown("# AniPortrait-TPU")
         with gr.Tab("Audio2Video"):
@@ -146,6 +208,14 @@ def build_app(config_path: str = "./configs/prompts/animation_audio.yaml"):
             a_out = gr.Video(label="Result")
             a_ref = gr.Image(label="Cropped reference")
             a_btn.click(audio2video, [a_audio, a_img, a_pose], [a_out, a_ref])
+        with gr.Tab("Video2Video"):
+            with gr.Row():
+                v_img = gr.Image(label="Reference image")
+                v_src = gr.Video(label="Source video")
+            v_btn = gr.Button("Generate")
+            v_out = gr.Video(label="Result")
+            v_ref = gr.Image(label="Cropped reference")
+            v_btn.click(video2video, [v_img, v_src], [v_out, v_ref])
     return demo
 
 

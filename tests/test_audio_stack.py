@@ -1,0 +1,81 @@
+"""Audio stack integration: wav2vec2 -> audio2mesh/audio2pose (tiny configs,
+random weights) -> mesh offsets on real landmarks -> projection -> pose maps.
+Exercises the full audio2vid conditioning front-end minus diffusion."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+TINY_W2V = dict(
+    hidden=32, layers=2, heads=4, intermediate=64,
+    pos_conv_kernel=16, pos_conv_groups=4,
+    conv_layers=((16, 10, 5), (16, 3, 2)),
+)
+
+
+def test_audio2mesh_shapes():
+    from aniportrait_tpu.audio.audio2mesh import Audio2MeshModel
+
+    model = Audio2MeshModel(out_dim=1404, latent_dim=16, **TINY_W2V)
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 3200), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, wav, 30))(jax.random.PRNGKey(0))
+    out = jax.jit(lambda p, w: model.apply(p, w, 30))(params, wav)
+    assert out.shape == (1, 30, 1404)
+    # zero-init out_fn => zero offsets at init (reference model.py:34-38)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_audio2pose_autoregressive():
+    from aniportrait_tpu.audio.audio2pose import Audio2PoseModel
+
+    model = Audio2PoseModel(out_dim=6, latent_dim=16, num_layers=2, heads=4, **TINY_W2V)
+    wav = jnp.asarray(np.random.RandomState(0).randn(1, 3200), jnp.float32)
+    seq_len = 10
+    params = jax.jit(lambda k: model.init(k, wav, seq_len, jnp.asarray([3])))(
+        jax.random.PRNGKey(0)
+    )
+    out = jax.jit(lambda p, w: model.apply(p, w, seq_len, jnp.asarray([3])))(
+        params, wav
+    )
+    assert out.shape == (1, seq_len, 6)
+    assert np.isfinite(np.asarray(out)).all()
+    # different speaker id gives a different sequence
+    out2 = jax.jit(lambda p, w: model.apply(p, w, seq_len, jnp.asarray([7])))(
+        params, wav
+    )
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-6
+
+
+def test_audio2vid_conditioning_front_end():
+    """Real landmarks + mesh offsets + pose template -> projected pose maps."""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("tensorflow")
+    from aniportrait_tpu.landmark import FaceLandmarkerLite
+    from aniportrait_tpu.utils.draw_util import FaceMeshVisualizer
+    from aniportrait_tpu.utils.pose_util import project_points, smooth_pose_seq
+
+    img = cv2.imread("/root/reference/configs/inference/ref_images/lyl.png")
+    res = FaceLandmarkerLite(
+        "/root/repo/third_party/mp_models/face_landmarker_v2_with_blendshapes.task"
+    )(img)
+    assert res is not None
+
+    L = 8
+    rs = np.random.RandomState(0)
+    offsets = rs.randn(L, 468, 3).astype(np.float32) * 0.05  # cm-scale jitter
+    pred = offsets + res["lmks3d"]
+
+    pose_seq = np.zeros((L, 6))
+    pose_seq[:, 1] = np.linspace(-10, 10, L)  # pan head
+    pose_seq = smooth_pose_seq(pose_seq, 3)
+
+    H, W = img.shape[:2]
+    projected = project_points(pred, res["trans_mat"], pose_seq, [H, W])
+    assert projected.shape == (L, 468, 2)
+    # projections stay roughly in frame
+    assert (projected[:, :, 0] > -W).all() and (projected[:, :, 0] < 2 * W).all()
+
+    vis = FaceMeshVisualizer(forehead_edge=False)
+    pose_img = vis.draw_landmarks((W, H), projected[0], normed=False)
+    assert (pose_img.sum(-1) > 0).sum() > 500

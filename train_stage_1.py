@@ -199,6 +199,19 @@ def main():
                 from aniportrait_tpu.train.checkpoint import save_checkpoint
 
                 save_checkpoint(str(save_dir / "orbax"), state, step + 1, keep=1)
+            val_steps = int(cfg.val.validation_steps) if cfg.get("val") else 0
+            if val_steps and (step + 1) % val_steps == 0:
+                try:
+                    from aniportrait_tpu.train.validation import log_validation
+
+                    log_validation(
+                        defs, vae_params, clip_params, state, dataset,
+                        str(save_dir / "validation"), step + 1, image_mode=True,
+                        width=int(cfg.data.sample_size[0]),
+                        height=int(cfg.data.sample_size[1]),
+                    )
+                except Exception as e:  # validation must not kill training
+                    print(f"validation failed at step {step + 1}: {e}")
 
     save_flat_npz(save_dir / "final_params.npz", state.params)
     print(f"done, saved to {save_dir}")

@@ -167,6 +167,19 @@ def main():
                 from aniportrait_tpu.train.checkpoint import save_checkpoint
 
                 save_checkpoint(str(save_dir / "orbax"), state, step + 1, keep=1)
+            val_steps = int(cfg.val.validation_steps) if cfg.get("val") else 0
+            if val_steps and (step + 1) % val_steps == 0:
+                try:
+                    from aniportrait_tpu.train.validation import log_validation
+
+                    log_validation(
+                        defs, vae_params, clip_params, state, dataset,
+                        str(save_dir / "validation"), step + 1, image_mode=False,
+                        width=int(cfg.data.sample_size[0]),
+                        height=int(cfg.data.sample_size[1]),
+                    )
+                except Exception as e:
+                    print(f"validation failed at step {step + 1}: {e}")
 
     # motion-module-only deployable dump (train_stage_2.py:743-771)
     motion_only = {
