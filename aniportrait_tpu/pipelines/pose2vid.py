@@ -85,29 +85,35 @@ class Pose2VideoPipeline:
         from aniportrait_tpu.utils.profiling import PhaseTimer
 
         self.timer = PhaseTimer()
+        # params are passed as jit ARGUMENTS (not Python closures): closures
+        # embed the weights as constants in the HLO, which bloats the
+        # serialized module (and this environment's remote-compile service
+        # rejects oversized requests)
         self._encode_ref_jit = jax.jit(self._encode_reference)
         self._pose_features_jit = jax.jit(self._pose_features)
         self._decode_chunk_jit = None
 
     # ------------------------------------------------------------- helpers
-    def _encode_reference(self, ref_image, clip_image):
-        """ref_image: (1, H, W, 3) in [-1,1]; clip_image: (1,224,224,3)
+    def _encode_reference(self, params3, ref_image, clip_image):
+        """params3: (clip_params, vae_params, reference_params).
+        ref_image: (1, H, W, 3) in [-1,1]; clip_image: (1,224,224,3)
         CLIP-normalised.  Returns (image_embeds_cfg (2,1,768), ref_latents,
         banks with batch 2)."""
+        clip_params, vae_params, reference_params = params3
         m = self.m
-        embeds = m.clip.apply({"params": m.clip_params}, clip_image)  # (1, 768)
+        embeds = m.clip.apply({"params": clip_params}, clip_image)  # (1, 768)
         ctx = embeds[:, None, :]  # (1, 1, 768)
         ctx_cfg = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)  # (2,1,768)
 
         mean, _ = m.vae.apply(
-            {"params": m.vae_params}, ref_image.astype(self.dtype), method=m.vae.encode
+            {"params": vae_params}, ref_image.astype(self.dtype), method=m.vae.encode
         )
         ref_latents = mean * VAE_SCALE  # (1, h, w, 4)
 
         ref_in = jnp.concatenate([ref_latents] * 2, axis=0)[:, None]  # (2,1,h,w,4)
         t0 = jnp.zeros((2,), jnp.int32)
         _, banks = m.reference_unet.apply(
-            {"params": m.reference_params},
+            {"params": reference_params},
             ref_in,
             t0,
             ctx_cfg,
@@ -115,12 +121,9 @@ class Pose2VideoPipeline:
         )
         return ctx_cfg, ref_latents, banks
 
-    def _pose_features(self, pose_video):
+    def _pose_features(self, pg_variables, pose_video):
         """pose_video: (1, L, H, W, 3) in [-1,1] -> list of 5 features."""
-        m = self.m
-        return m.pose_guider.apply(
-            m.pose_guider_variables, pose_video.astype(self.dtype)
-        )
+        return self.m.pose_guider.apply(pg_variables, pose_video.astype(self.dtype))
 
     def _build_sampler(self, video_length, hlat, wlat, steps, guidance_scale, windowed):
         """Return a jitted function running the full denoise loop."""
@@ -150,7 +153,7 @@ class Pose2VideoPipeline:
         windows_b = windows.reshape(-1, wb, win_len)
         valid_b = win_valid.reshape(-1, wb)
 
-        def unet_on_windows(latents, t, ctx_cfg, banks, pose_fea, win, valid):
+        def unet_on_windows(den_params, latents, t, ctx_cfg, banks, pose_fea, win, valid):
             """win: (wb, win_len) frame indices; returns window preds."""
             # gather latents (1, L, h, w, 4) -> (wb, win_len, h, w, 4)
             lat = latents[0][win]  # (wb, win_len, h, w, 4)
@@ -185,7 +188,7 @@ class Pose2VideoPipeline:
             )
             tb = jnp.full((b,), t, jnp.int32)
             pred, _ = m.denoising_unet.apply(
-                {"params": m.denoising_params},
+                {"params": den_params},
                 lat.astype(self.dtype),
                 tb,
                 ctx,
@@ -195,14 +198,14 @@ class Pose2VideoPipeline:
             )
             return pred  # (b, win_len, h, w, 4)
 
-        def sample_impl(latents, ctx_cfg, banks, pose_fea):
+        def sample_impl(den_params, latents, ctx_cfg, banks, pose_fea):
             def step(carry, t):
-                return _one_step(carry, t, ctx_cfg, banks, pose_fea)
+                return _one_step(den_params, carry, t, ctx_cfg, banks, pose_fea)
 
             latents, _ = jax.lax.scan(step, latents, timesteps)
             return latents
 
-        def _one_step(latents, t, ctx_cfg, banks, pose_fea):
+        def _one_step(den_params, latents, t, ctx_cfg, banks, pose_fea):
             acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
             noise_pred0 = jnp.zeros(acc_shape, jnp.float32)
             counter0 = jnp.zeros((1, video_length, 1, 1, 1), jnp.float32)
@@ -211,7 +214,7 @@ class Pose2VideoPipeline:
                 noise_pred, counter = accs
                 win, valid = win_and_valid
                 pred = unet_on_windows(
-                    latents, t, ctx_cfg, banks, pose_fea, win, valid
+                    den_params, latents, t, ctx_cfg, banks, pose_fea, win, valid
                 ).astype(jnp.float32)
                 vmask = valid.astype(jnp.float32)
                 if do_cfg:
@@ -246,15 +249,16 @@ class Pose2VideoPipeline:
         m = self.m
         z = latents[0] / VAE_SCALE  # (L, h, w, 4)
         L = z.shape[0]
+        decode_chunk = min(decode_chunk, L)
         pad = (-L) % decode_chunk
         if pad:
             z = jnp.concatenate([z, z[:pad]], axis=0)
         chunks = z.reshape(-1, decode_chunk, *z.shape[1:])
 
         if self._decode_chunk_jit is None:
-            def dec(chunk):
+            def dec(vae_params, chunk):
                 img = m.vae.apply(
-                    {"params": m.vae_params},
+                    {"params": vae_params},
                     chunk.astype(self.dtype),
                     method=m.vae.decode,
                 )
@@ -262,7 +266,9 @@ class Pose2VideoPipeline:
 
             self._decode_chunk_jit = jax.jit(dec)
 
-        out = jnp.concatenate([self._decode_chunk_jit(c) for c in chunks], axis=0)
+        out = jnp.concatenate(
+            [self._decode_chunk_jit(m.vae_params, c) for c in chunks], axis=0
+        )
         return out[:L]
 
     # ---------------------------------------------------------------- call
@@ -290,12 +296,19 @@ class Pose2VideoPipeline:
             [prepare_image(p, width, height) for p in pose_images], axis=0
         )[None]  # (1,L,H,W,3)
 
+        m = self.m
         with self.timer.phase("encode_reference"):
             ctx_cfg, _, banks = jax.block_until_ready(
-                self._encode_ref_jit(jnp.asarray(ref), jnp.asarray(clip_img))
+                self._encode_ref_jit(
+                    (m.clip_params, m.vae_params, m.reference_params),
+                    jnp.asarray(ref),
+                    jnp.asarray(clip_img),
+                )
             )
         with self.timer.phase("pose_features"):
-            pose_fea = jax.block_until_ready(self._pose_features_jit(jnp.asarray(poses)))
+            pose_fea = jax.block_until_ready(
+                self._pose_features_jit(m.pose_guider_variables, jnp.asarray(poses))
+            )
 
         hlat, wlat = height // 8, width // 8
         key = (video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed)
@@ -313,7 +326,9 @@ class Pose2VideoPipeline:
         ) * self.m.scheduler.init_noise_sigma
 
         with self.timer.phase("denoise"):
-            latents = jax.block_until_ready(sampler(latents, ctx_cfg, banks, pose_fea))
+            latents = jax.block_until_ready(
+                sampler(m.denoising_params, latents, ctx_cfg, banks, pose_fea)
+            )
         with self.timer.phase("vae_decode"):
             video = jax.block_until_ready(self._decode(latents, decode_chunk))
         return np.asarray(video)

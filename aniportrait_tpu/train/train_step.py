@@ -104,8 +104,6 @@ def make_optimizer(
 
 def make_train_step(
     defs: Dict[str, Any],
-    vae_params,
-    clip_params,
     tx,
     scheduler: DDIMScheduler,
     prediction_type: str = "v_prediction",
@@ -113,7 +111,9 @@ def make_train_step(
     noise_offset: float = 0.05,
     uncond_ratio: float = 0.1,
 ):
-    """Returns ``train_step(state, batch, rng) -> (state, metrics)``.
+    """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``
+    with ``frozen = (vae_params, clip_params)`` passed as arguments (NOT
+    captured — closures would embed the frozen weights as HLO constants).
 
     batch (channels-last, [-1, 1] images):
       pixel_values:         (b, f, H, W, 3)
@@ -127,22 +127,23 @@ def make_train_step(
     den_unet = defs["denoising_unet"]
     pose_guider = defs["pose_guider"]
 
-    def vae_sample(img, rng):
+    def vae_sample(vae_params, img, rng):
         mean, logvar = vae.apply({"params": vae_params}, img, method=vae.encode)
         eps = jax.random.normal(rng, mean.shape, mean.dtype)
         return (mean + jnp.exp(0.5 * logvar) * eps) * VAE_SCALE
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, frozen, batch, rng):
+        vae_params, clip_params = frozen
         b, f = batch["pixel_values"].shape[:2]
         keys = jax.random.split(rng, 6)
 
         # target latents (per frame)
         px = batch["pixel_values"].reshape(b * f, *batch["pixel_values"].shape[2:])
-        latents = vae_sample(px, keys[0])
+        latents = vae_sample(vae_params, px, keys[0])
         hl, wl = latents.shape[1:3]
         latents = latents.reshape(b, f, hl, wl, 4)
 
-        ref_latents = vae_sample(batch["pixel_values_ref_img"], keys[1])  # (b,h,w,4)
+        ref_latents = vae_sample(vae_params, batch["pixel_values_ref_img"], keys[1])
 
         # CFG dropout: zero the CLIP *image* through the encoder + drop ref
         uncond = (
@@ -206,9 +207,9 @@ def make_train_step(
         return loss, new_stats["batch_stats"]
 
     @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, frozen, batch, rng):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
+            state.params, state.batch_stats, frozen, batch, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

@@ -21,10 +21,11 @@ def test_ref_flash_attention_matches_xla():
     vb = jnp.asarray(rs.randn(B, L, H, D).astype(np.float32))
     drop = jnp.asarray(np.array([1, 0, 1, 0], np.int32))
 
-    out = ref_flash_attention(
-        q, ks, vs, kb, vb, drop, rows_per_batch=F, block_q=8, interpret=True
-    )
-    ref = ref_attention_xla(q, ks, vs, kb, vb, drop, rows_per_batch=F)
+    with jax.default_matmul_precision("highest"):
+        out = ref_flash_attention(
+            q, ks, vs, kb, vb, drop, rows_per_batch=F, block_q=8, interpret=True
+        )
+        ref = ref_attention_xla(q, ks, vs, kb, vb, drop, rows_per_batch=F)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 

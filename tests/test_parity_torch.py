@@ -44,7 +44,8 @@ def test_clip_vision_parity():
     x = np.random.RandomState(0).randn(2, 3, 32, 32).astype(np.float32)
     with torch.no_grad():
         ref = tm(pixel_values=torch.from_numpy(x)).image_embeds.numpy()
-    out = jax.jit(jm.apply)({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    with jax.default_matmul_precision("highest"):
+        out = jax.jit(jm.apply)({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out), ref, atol=ATOL, rtol=1e-3)
 
 
@@ -90,7 +91,8 @@ def test_wav2vec2_parity():
         t_nat = feats.shape[1]
         hidden, _ = tm.feature_projection(feats)
         ref = tm.encoder(hidden).last_hidden_state.numpy()
-    out, _ = jax.jit(lambda p, w: jm.apply(p, w, t_nat))({"params": params}, jnp.asarray(wav))
+    with jax.default_matmul_precision("highest"):
+        out, _ = jax.jit(lambda p, w: jm.apply(p, w, t_nat))({"params": params}, jnp.asarray(wav))
     np.testing.assert_allclose(np.asarray(out), ref, atol=ATOL, rtol=1e-3)
 
 
@@ -215,8 +217,9 @@ def test_audio2pose_decoder_parity():
         jnp.asarray(memory.numpy()).transpose(1, 0, 2),
         jnp.asarray(pe.numpy()[0, :T]),
     )
-    _, outs = jax.jit(
-        lambda p, c, xs: scanned.apply({"params": p["decoder"]}, c, xs)
-    )(params, carry0, xs)
+    with jax.default_matmul_precision("highest"):
+        _, outs = jax.jit(
+            lambda p, c, xs: scanned.apply({"params": p["decoder"]}, c, xs)
+        )(params, carry0, xs)
     out = np.asarray(outs).transpose(1, 0, 2)
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)

@@ -140,10 +140,9 @@ def main():
         weight_decay=float(cfg.solver.adam_weight_decay),
         max_grad_norm=float(cfg.solver.max_grad_norm),
     )
+    frozen = (vae_params, clip_params)
     train_step = make_train_step(
         defs,
-        vae_params,
-        clip_params,
         tx,
         scheduler,
         prediction_type=prediction_type,
@@ -188,7 +187,7 @@ def main():
             if step >= max_steps:
                 break
             rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, shard_batch(batch, mesh), sub)
+            state, metrics = train_step(state, frozen, shard_batch(batch, mesh), sub)
             if step % 10 == 0:
                 loss = float(metrics["loss"])
                 rec = {"step": step, "loss": loss, "elapsed_s": round(time.time() - t0, 1)}
