@@ -21,14 +21,32 @@ class Audio2MeshModel(nn.Module):
     out_dim: int = 1404
     latent_dim: int = 512
     only_last_features: bool = True
+    # wav2vec2 encoder config (defaults = wav2vec2-base-960h)
+    hidden: int = 768
+    layers: int = 12
+    heads: int = 12
+    intermediate: int = 3072
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    conv_layers: tuple = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray, seq_len: int):
         """wav: (b, n_samples) -> (b, seq_len, out_dim) vertex offsets."""
-        last, all_states = Wav2Vec2Model(dtype=self.dtype, name="audio_encoder")(
-            wav, seq_len, output_hidden_states=not self.only_last_features
-        )
+        from aniportrait_tpu.audio.wav2vec2 import CONV_LAYERS
+
+        last, all_states = Wav2Vec2Model(
+            hidden=self.hidden,
+            layers=self.layers,
+            heads=self.heads,
+            intermediate=self.intermediate,
+            pos_conv_kernel=self.pos_conv_kernel,
+            pos_conv_groups=self.pos_conv_groups,
+            conv_layers=self.conv_layers or CONV_LAYERS,
+            dtype=self.dtype,
+            name="audio_encoder",
+        )(wav, seq_len, output_hidden_states=not self.only_last_features)
         h = last if self.only_last_features else sum(all_states) / len(all_states)
         h = nn.Dense(self.latent_dim, dtype=self.dtype, name="in_fn")(h)
         return nn.Dense(

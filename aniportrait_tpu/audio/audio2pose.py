@@ -147,6 +147,14 @@ class Audio2PoseModel(nn.Module):
     num_ids: int = 100
     pe_max_len: int = 600
     only_last_features: bool = True
+    # wav2vec2 encoder config (defaults = wav2vec2-base-960h)
+    hidden: int = 768
+    enc_layers: int = 12
+    enc_heads: int = 12
+    intermediate: int = 3072
+    pos_conv_kernel: int = 128
+    pos_conv_groups: int = 16
+    conv_layers: tuple = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -158,12 +166,22 @@ class Audio2PoseModel(nn.Module):
           id_seed: (b,) int32 speaker-style id in [0, 100).
         Returns: (b, seq_len, 6) pose sequence.
         """
+        from aniportrait_tpu.audio.wav2vec2 import CONV_LAYERS
+
         b = wav.shape[0]
         d = self.latent_dim
 
-        last, all_states = Wav2Vec2Model(dtype=self.dtype, name="audio_encoder")(
-            wav, seq_len, output_hidden_states=not self.only_last_features
-        )
+        last, all_states = Wav2Vec2Model(
+            hidden=self.hidden,
+            layers=self.enc_layers,
+            heads=self.enc_heads,
+            intermediate=self.intermediate,
+            pos_conv_kernel=self.pos_conv_kernel,
+            pos_conv_groups=self.pos_conv_groups,
+            conv_layers=self.conv_layers or CONV_LAYERS,
+            dtype=self.dtype,
+            name="audio_encoder",
+        )(wav, seq_len, output_hidden_states=not self.only_last_features)
         hidden = last if self.only_last_features else sum(all_states) / len(all_states)
         memory = nn.Dense(d, dtype=self.dtype, name="in_fn")(hidden)  # (b, T, d)
 

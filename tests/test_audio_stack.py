@@ -29,7 +29,10 @@ def test_audio2mesh_shapes():
 def test_audio2pose_autoregressive():
     from aniportrait_tpu.audio.audio2pose import Audio2PoseModel
 
-    model = Audio2PoseModel(out_dim=6, latent_dim=16, num_layers=2, heads=4, **TINY_W2V)
+    w2v = dict(TINY_W2V)
+    w2v["enc_layers"] = w2v.pop("layers")
+    w2v["enc_heads"] = w2v.pop("heads")
+    model = Audio2PoseModel(out_dim=6, latent_dim=16, num_layers=2, heads=4, **w2v)
     wav = jnp.asarray(np.random.RandomState(0).randn(1, 3200), jnp.float32)
     seq_len = 10
     params = jax.jit(lambda k: model.init(k, wav, seq_len, jnp.asarray([3])))(
