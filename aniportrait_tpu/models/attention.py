@@ -46,12 +46,14 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask_bias=None):
+    def __call__(self, x, context=None, mask_bias=None, kv_split=None, drop_tail=None):
         """
         Args:
           x: (B, Sq, C) queries.
           context: (B, Skv, Ckv) or None for self-attention.
           mask_bias: optional additive bias broadcastable to (B, H, Sq, Skv).
+          kv_split/drop_tail: reference-KV mode (see
+            ops.attention.scaled_dot_product_attention).
         """
         inner = self.heads * self.dim_head
         context = x if context is None else context
@@ -67,7 +69,9 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.heads, self.dim_head)
         k = k.reshape(b, skv, self.heads, self.dim_head)
         v = v.reshape(b, skv, self.heads, self.dim_head)
-        out = scaled_dot_product_attention(q, k, v, bias=mask_bias)
+        out = scaled_dot_product_attention(
+            q, k, v, bias=mask_bias, kv_split=kv_split, drop_tail=drop_tail
+        )
         out = out.reshape(b, sq, inner)
         return nn.Dense(inner, use_bias=True, dtype=self.dtype, name="to_out_0")(out)
 
@@ -147,24 +151,15 @@ class SpatialTransformerBlock(nn.Module):
             x = x + attn1(h)
         else:
             hw = h.shape[1]
-            l_ref = ref_bank.shape[1]
             bank_kv = jnp.repeat(
                 ref_bank.astype(self.dtype), video_length, axis=0
             )  # (B*F, L, C)
             kv = jnp.concatenate([h, bank_kv], axis=1)
-            bias = None
             if drop_ref is not None:
                 row_drop = jnp.repeat(drop_ref, video_length, axis=0)  # (B*F,)
-                token_is_bank = jnp.concatenate(
-                    [jnp.zeros((hw,), bool), jnp.ones((l_ref,), bool)]
-                )
-                bias = jnp.where(
-                    row_drop[:, None, None, None]
-                    & token_is_bank[None, None, None, :],
-                    NEG_INF,
-                    0.0,
-                ).astype(self.dtype)
-            x = x + attn1(h, context=kv, mask_bias=bias)
+            else:
+                row_drop = jnp.zeros((h.shape[0],), bool)
+            x = x + attn1(h, context=kv, kv_split=hw, drop_tail=row_drop)
 
         if self.cross_attention_dim is not None:
             h = _ln("norm2")(x).astype(self.dtype)

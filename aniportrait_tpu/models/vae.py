@@ -63,9 +63,11 @@ class VaeAttentionBlock(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(hid)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(hid)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(hid)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k) * (c**-0.5)
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(hid.dtype)
-        hid = jnp.einsum("bqk,bkc->bqc", probs, v)
+        from aniportrait_tpu.ops.attention import scaled_dot_product_attention
+
+        hid = scaled_dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
         hid = nn.Dense(c, dtype=self.dtype, name="to_out_0")(hid)
         return residual + hid.reshape(b, h, w, c)
 

@@ -15,24 +15,50 @@ import jax
 import jax.numpy as jnp
 
 
+FLASH_MIN_LOGITS = 1 << 21  # sq * skv above which logits must not hit HBM
+
+
+def _on_accelerator() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: jnp.ndarray | None = None,
-    impl: str = "xla",
+    impl: str = "auto",
+    kv_split: int | None = None,
+    drop_tail: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-head attention over ``(batch, seq, heads, head_dim)`` tensors.
 
     Args:
-      q: (B, Sq, H, D)
-      k/v: (B, Skv, H, D)
+      q: (B, Sq, H, D);  k/v: (B, Skv, H, D).
       bias: optional additive logits bias broadcastable to (B, H, Sq, Skv).
+      kv_split / drop_tail: reference-KV mode — KV is
+        ``concat([self (kv_split), bank])`` and rows with ``drop_tail`` must
+        ignore the bank.  On TPU at large sizes this dispatches to the
+        Pallas flash kernel as two calls + per-row select (the XLA path
+        would materialise (B, H, Sq, Skv) f32 logits — tens of GB at 64x64).
     Returns: (B, Sq, H, D), in q.dtype.
     """
-    if impl == "xla":
-        # jax.nn.dot_product_attention expects BSHD and handles scaling.
-        return jax.nn.dot_product_attention(q, k, v, bias=bias)
+    # the single-pass flash kernel keeps whole KV rows in VMEM: only
+    # worthwhile/feasible for head dims <= 256 (VAE's 512-dim single-head
+    # attention stays on XLA)
+    big = q.shape[1] * k.shape[1] >= FLASH_MIN_LOGITS and q.shape[-1] <= 256
+    if impl == "auto" and big and _on_accelerator():
+        from aniportrait_tpu.ops.pallas_attention import flash_attention
+
+        if kv_split is not None and drop_tail is not None:
+            out_cat = flash_attention(q, k, v)
+            out_self = flash_attention(q, k[:, :kv_split], v[:, :kv_split])
+            drop = drop_tail.astype(bool)[:, None, None, None]
+            return jnp.where(drop, out_self, out_cat)
+        if bias is None:
+            return flash_attention(q, k, v)
+        # biased big attention falls through to XLA
+
     if impl == "naive":
         scale = q.shape[-1] ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
@@ -40,4 +66,16 @@ def scaled_dot_product_attention(
             logits = logits + bias
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-    raise ValueError(f"unknown attention impl: {impl}")
+
+    # XLA fused attention (BSHD, handles scaling); build the drop-bank bias
+    # here when the flash path didn't take the kv_split contract.
+    if kv_split is not None and drop_tail is not None and bias is None:
+        skv = k.shape[1]
+        is_bank = jnp.arange(skv) >= kv_split
+        bias = jnp.where(
+            drop_tail.astype(bool)[:, None, None, None]
+            & is_bank[None, None, None, :],
+            -1e9,
+            0.0,
+        ).astype(q.dtype)
+    return jax.nn.dot_product_attention(q, k, v, bias=bias)

@@ -35,8 +35,10 @@ def main():
     steps = 25
     frames = 16
     res = 512
+    metric = "frames_per_sec_512px_25step"
     if "--tiny" in sys.argv:
         size, steps, frames, res = "tiny", 2, 4, 64
+        metric = "frames_per_sec_tiny_smoke"
 
     defs = build_model_defs(size=size, use_motion_module=True, dtype=jnp.bfloat16)
     modules = init_random_params(defs)
@@ -83,7 +85,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "frames_per_sec_512px_25step",
+                "metric": metric,
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / baseline_fps, 3),
