@@ -72,6 +72,8 @@ def main():
     # warmup/compile
     pipe(ref, poses, None, **kw)
 
+    pipe.timer.totals.clear()
+    pipe.timer.counts.clear()
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -80,6 +82,7 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     fps = frames / dt
+    print(f"phase breakdown (3 runs): {pipe.timer.report()}", file=sys.stderr)
 
     baseline_fps = 1.0  # cost-modeled A100 fp16 PyTorch reference (see docstring)
     print(
