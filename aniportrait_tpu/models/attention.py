@@ -128,6 +128,7 @@ class SpatialTransformerBlock(nn.Module):
         drop_ref=None,
         video_length: int = 1,
         capture_bank: bool = False,
+        drop_mode: str = "traced",
     ):
         """
         Args:
@@ -137,6 +138,11 @@ class SpatialTransformerBlock(nn.Module):
           drop_ref: optional (B,) bool; True rows ignore ref tokens.
           video_length: F (static).
           capture_bank: return post-norm1 hidden states as bank.
+          drop_mode: 'traced' (mask per drop_ref), or STATIC structure
+            knowledge that avoids wasted attention compute:
+            'none' (no rows drop), 'first_half' (CFG layout: the first B/2
+            batch rows drop — uncond rows get a self-only call, cond rows a
+            concat call, exactly the reference's two computations).
         Returns: (x, bank_or_None)
         """
         bank = None
@@ -154,12 +160,26 @@ class SpatialTransformerBlock(nn.Module):
             bank_kv = jnp.repeat(
                 ref_bank.astype(self.dtype), video_length, axis=0
             )  # (B*F, L, C)
-            kv = jnp.concatenate([h, bank_kv], axis=1)
-            if drop_ref is not None:
-                row_drop = jnp.repeat(drop_ref, video_length, axis=0)  # (B*F,)
-            else:
-                row_drop = jnp.zeros((h.shape[0],), bool)
-            x = x + attn1(h, context=kv, kv_split=hw, drop_tail=row_drop)
+            if drop_mode == "none":
+                kv = jnp.concatenate([h, bank_kv], axis=1)
+                x = x + attn1(h, context=kv)
+            elif drop_mode == "first_half":
+                # batch rows are (B, F) flattened with F contiguous; the
+                # uncond half is the first B/2 batch rows == first half of
+                # the flattened rows
+                half = h.shape[0] // 2
+                h_u, h_c = h[:half], h[half:]
+                kv_c = jnp.concatenate([h_c, bank_kv[half:]], axis=1)
+                out_u = attn1(h_u)
+                out_c = attn1(h_c, context=kv_c)
+                x = x + jnp.concatenate([out_u, out_c], axis=0)
+            else:  # 'traced'
+                kv = jnp.concatenate([h, bank_kv], axis=1)
+                if drop_ref is not None:
+                    row_drop = jnp.repeat(drop_ref, video_length, axis=0)
+                else:
+                    row_drop = jnp.zeros((h.shape[0],), bool)
+                x = x + attn1(h, context=kv, kv_split=hw, drop_tail=row_drop)
 
         if self.cross_attention_dim is not None:
             h = _ln("norm2")(x).astype(self.dtype)

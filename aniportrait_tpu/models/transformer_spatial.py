@@ -42,6 +42,7 @@ class SpatialTransformer(nn.Module):
         ref_bank=None,
         drop_ref=None,
         capture_bank: bool = False,
+        drop_mode: str = "traced",
     ):
         """
         Args:
@@ -80,6 +81,7 @@ class SpatialTransformer(nn.Module):
                 drop_ref=drop_ref,
                 video_length=f,
                 capture_bank=capture_bank,
+                drop_mode=drop_mode,
             )
             if bank is not None:
                 # bank is (b*f, hw, c); the writer always runs with f == 1

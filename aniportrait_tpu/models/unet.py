@@ -82,6 +82,7 @@ class AniUNet(nn.Module):
         ref_banks: Optional[Dict[str, jnp.ndarray]] = None,
         drop_ref: Optional[jnp.ndarray] = None,
         capture_banks: bool = False,
+        drop_mode: str = "traced",
     ):
         """
         Args:
@@ -93,6 +94,8 @@ class AniUNet(nn.Module):
           ref_banks: dict of (b, L, c) reference features keyed by position.
           drop_ref: (b,) bool — CFG-uncond rows ignore ref tokens.
           capture_banks: return banks instead of consuming them.
+          drop_mode: 'traced' | 'none' | 'first_half' (static CFG layout;
+            see SpatialTransformerBlock).
         Returns: (output or None, banks dict)
         """
         ch = list(self.block_out_channels)
@@ -114,6 +117,7 @@ class AniUNet(nn.Module):
                 ref_bank=None if ref_banks is None else ref_banks.get(key),
                 drop_ref=drop_ref,
                 capture_bank=capture_banks,
+                drop_mode=drop_mode,
             )
             if captured:
                 banks[key] = captured[0]

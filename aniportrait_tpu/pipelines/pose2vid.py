@@ -74,13 +74,31 @@ class Pose2VideoPipeline:
         context_stride: int = 1,
         context_overlap: int = 4,
         window_batch: int = 4,
+        mesh=None,
     ):
+        """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
+        windows of each denoise step are sharded across it (the reference
+        runs windows sequentially on one GPU,
+        pipeline_pose2vid_long.py:519); params are replicated."""
         self.m = modules
         self.dtype = dtype
         self.context_frames = context_frames
         self.context_stride = context_stride
         self.context_overlap = context_overlap
         self.window_batch = window_batch
+        self.mesh = mesh
+        if mesh is not None:
+            from aniportrait_tpu.parallel.mesh import replicate
+
+            for attr in ("vae_params", "clip_params", "reference_params",
+                         "denoising_params", "pose_guider_variables"):
+                setattr(self.m, attr, replicate(getattr(self.m, attr), mesh))
+            n_dev = mesh.devices.size
+            # CFG doubles the row axis; keep 2*window_batch divisible
+            if (2 * self.window_batch) % n_dev:
+                self.window_batch = max(n_dev // 2, 1) * max(
+                    1, (2 * self.window_batch) // n_dev
+                )
         self._compiled: Dict[Any, Any] = {}
         from aniportrait_tpu.utils.profiling import PhaseTimer
 
@@ -94,13 +112,20 @@ class Pose2VideoPipeline:
         self._decode_chunk_jit = None
 
     # ------------------------------------------------------------- helpers
-    def _encode_reference(self, params3, ref_image, clip_image):
+    def _encode_reference(self, params3, ref_image_u8, clip_image_u8):
         """params3: (clip_params, vae_params, reference_params).
-        ref_image: (1, H, W, 3) in [-1,1]; clip_image: (1,224,224,3)
-        CLIP-normalised.  Returns (image_embeds_cfg (2,1,768), ref_latents,
-        banks with batch 2)."""
+        ref_image_u8: (1, H, W, 3) uint8; clip_image_u8: (1,224,224,3) uint8
+        (resized on host; normalised here on device).  Returns
+        (image_embeds_cfg (2,1,768), ref_latents, banks with batch 2)."""
+        from aniportrait_tpu.models.clip_vision import CLIP_MEAN, CLIP_STD
+
         clip_params, vae_params, reference_params = params3
         m = self.m
+        ref_image = ref_image_u8.astype(self.dtype) / 127.5 - 1.0
+        clip_image = (
+            (clip_image_u8.astype(jnp.float32) / 255.0 - jnp.asarray(CLIP_MEAN))
+            / jnp.asarray(CLIP_STD)
+        ).astype(self.dtype)
         embeds = m.clip.apply({"params": clip_params}, clip_image)  # (1, 768)
         ctx = embeds[:, None, :]  # (1, 1, 768)
         ctx_cfg = jnp.concatenate([jnp.zeros_like(ctx), ctx], axis=0)  # (2,1,768)
@@ -121,9 +146,12 @@ class Pose2VideoPipeline:
         )
         return ctx_cfg, ref_latents, banks
 
-    def _pose_features(self, pg_variables, pose_video):
-        """pose_video: (1, L, H, W, 3) in [-1,1] -> list of 5 features."""
-        return self.m.pose_guider.apply(pg_variables, pose_video.astype(self.dtype))
+    def _pose_features(self, pg_variables, pose_video_u8):
+        """pose_video_u8: (1, L, H, W, 3) uint8 -> list of 5 features.
+        Normalisation happens on device (uint8 host->device transfer is 4x
+        cheaper than f32 — significant through this chip's tunnel)."""
+        pose = pose_video_u8.astype(self.dtype) / 127.5 - 1.0
+        return self.m.pose_guider.apply(pg_variables, pose)
 
     def _build_sampler(self, video_length, hlat, wlat, steps, guidance_scale, windowed):
         """Return a jitted function running the full denoise loop."""
@@ -144,11 +172,12 @@ class Pose2VideoPipeline:
             windows = np.arange(video_length, dtype=np.int32)[None]
         windows = jnp.asarray(windows)  # (n_win, win_len)
         n_win, win_len = windows.shape
-        wb = min(self.window_batch, n_win)
+        wb = self.window_batch if self.mesh is not None else min(self.window_batch, n_win)
         # pad window count to a multiple of wb; padded windows are masked out
         n_pad = (-n_win) % wb
         if n_pad:
-            windows = jnp.concatenate([windows, windows[:n_pad]], axis=0)
+            reps = 1 + (n_pad + n_win - 1) // n_win
+            windows = jnp.tile(windows, (reps, 1))[: n_win + n_pad]
         win_valid = jnp.arange(windows.shape[0]) < n_win
         windows_b = windows.reshape(-1, wb, win_len)
         valid_b = win_valid.reshape(-1, wb)
@@ -181,11 +210,19 @@ class Pose2VideoPipeline:
                 else jnp.repeat(v[1:], b, axis=0),
                 banks,
             )
-            drop_ref = (
-                jnp.concatenate([jnp.ones((half,), bool), jnp.zeros((half,), bool)])
-                if do_cfg
-                else jnp.zeros((b,), bool)
-            )
+            # static CFG structure: uncond rows are the first half —
+            # dispatched as separate self-only / concat attention calls
+            # instead of a traced mask (saves the dual-computation)
+            drop_mode = "first_half" if do_cfg else "none"
+            drop_ref = None
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                shard = NamedSharding(self.mesh, P("data"))
+                lat = jax.lax.with_sharding_constraint(lat, shard)
+                pose_w = [
+                    jax.lax.with_sharding_constraint(pw, shard) for pw in pose_w
+                ]
             tb = jnp.full((b,), t, jnp.int32)
             pred, _ = m.denoising_unet.apply(
                 {"params": den_params},
@@ -195,6 +232,7 @@ class Pose2VideoPipeline:
                 pose_cond_fea=pose_w,
                 ref_banks=banks_t,
                 drop_ref=drop_ref,
+                drop_mode=drop_mode,
             )
             return pred  # (b, win_len, h, w, 4)
 
@@ -262,14 +300,17 @@ class Pose2VideoPipeline:
                     chunk.astype(self.dtype),
                     method=m.vae.decode,
                 )
-                return (img.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+                img = (img.astype(jnp.float32) / 2 + 0.5).clip(0.0, 1.0)
+                # stage as uint8: 4x cheaper device->host transfer, same
+                # precision as the video files written downstream
+                return jnp.round(img * 255.0).astype(jnp.uint8)
 
             self._decode_chunk_jit = jax.jit(dec)
 
         out = jnp.concatenate(
             [self._decode_chunk_jit(m.vae_params, c) for c in chunks], axis=0
         )
-        return out[:L]
+        return out[:L]  # uint8 on device
 
     # ---------------------------------------------------------------- call
     def __call__(
@@ -288,13 +329,14 @@ class Pose2VideoPipeline:
     ) -> np.ndarray:
         """All images are uint8 RGB numpy arrays (H, W, 3).
         Returns video (L, H, W, 3) float32 in [0, 1]."""
-        from aniportrait_tpu.utils.image import prepare_image, prepare_clip_image
+        from aniportrait_tpu.utils.image import _resize
+        from aniportrait_tpu.models.clip_vision import CLIP_IMAGE_SIZE
 
-        ref = prepare_image(ref_image, width, height)[None]  # (1,H,W,3) [-1,1]
-        clip_img = prepare_clip_image(ref_image)[None]
+        ref = _resize(ref_image, width, height)[None]  # (1,H,W,3) uint8
+        clip_img = _resize(ref_image, CLIP_IMAGE_SIZE, CLIP_IMAGE_SIZE)[None]
         poses = np.stack(
-            [prepare_image(p, width, height) for p in pose_images], axis=0
-        )[None]  # (1,L,H,W,3)
+            [_resize(p, width, height) for p in pose_images], axis=0
+        )[None]  # (1,L,H,W,3) uint8
 
         m = self.m
         with self.timer.phase("encode_reference"):
@@ -331,7 +373,7 @@ class Pose2VideoPipeline:
             )
         with self.timer.phase("vae_decode"):
             video = jax.block_until_ready(self._decode(latents, decode_chunk))
-        return np.asarray(video)
+        return np.asarray(video).astype(np.float32) / 255.0
 
 
 class Pose2ImagePipeline(Pose2VideoPipeline):

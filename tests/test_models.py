@@ -146,3 +146,25 @@ def test_vae_roundtrip_shapes():
     recon = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))(params, mean)
     assert recon.shape == (1, 32, 32, 3)
     assert np.isfinite(np.asarray(recon)).all()
+
+
+def test_drop_mode_static_matches_traced(denoise_setup, banks):
+    """'first_half' static CFG dispatch == traced drop mask."""
+    net, params, _ = denoise_setup
+    x = jax.random.normal(KEY, (B, F, HW, HW, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 16))
+    pose = tiny_pose_features(B, F)
+    traced = jax.jit(
+        lambda p: net.apply(
+            p, x, t, ctx, pose_cond_fea=pose, ref_banks=banks,
+            drop_ref=jnp.array([True, False]),
+        )[0]
+    )(params)
+    static = jax.jit(
+        lambda p: net.apply(
+            p, x, t, ctx, pose_cond_fea=pose, ref_banks=banks,
+            drop_mode="first_half",
+        )[0]
+    )(params)
+    np.testing.assert_allclose(np.asarray(traced), np.asarray(static), atol=2e-5)

@@ -1,0 +1,53 @@
+"""Multi-device tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+
+from aniportrait_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def test_mesh_and_sharding():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    x = np.zeros((16, 4), np.float32)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.num_devices == 8
+    r = replicate({"w": np.ones((3,), np.float32)}, mesh)
+    assert r["w"].sharding.num_devices == 8
+
+
+def test_window_sharded_pipeline_matches_single_device():
+    """The mesh-sharded sampler must produce the same video as unsharded."""
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    defs = build_model_defs(size="tiny", use_motion_module=True)
+    modules = init_random_params(defs)
+
+    rs = np.random.RandomState(0)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(6)]
+    kw = dict(width=64, height=64, video_length=6, num_inference_steps=1,
+              guidance_scale=3.5, seed=3, decode_chunk=2)
+
+    plain = Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2, window_batch=2
+    )
+    v1 = plain(ref, poses, None, **kw)
+
+    mesh = make_mesh(8)
+    sharded = Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2, window_batch=4, mesh=mesh
+    )
+    with mesh:
+        v2 = sharded(ref, poses, None, **kw)
+    # videos are uint8-staged: cross-device reduction order can flip a pixel
+    # across a rounding boundary (1/255)
+    np.testing.assert_allclose(v1, v2, atol=1.5 / 255)
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
