@@ -26,17 +26,26 @@ NEG_INF = -1e9
 
 
 def _flash_kernel(scale, q_ref, k_ref, v_ref, o_ref):
-    q = q_ref[0].astype(jnp.float32)  # (bq, dp)
-    k = k_ref[0].astype(jnp.float32)  # (S_kv, dp)
-    v = v_ref[0].astype(jnp.float32)
+    # K/V stay in their storage dtype (bf16 in production): the MXU takes
+    # bf16 inputs with f32 accumulation natively, and skipping the f32
+    # up-cast halves VMEM so q-blocks can be larger.
+    q = q_ref[0]  # (bq, dp)
+    k = k_ref[0]  # (S_kv, dp)
+    v = v_ref[0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, S_kv)
+    ) * scale  # (bq, S_kv) f32
     m = jnp.max(logits, axis=1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=1, keepdims=True)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    out = (
+        jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        / denom
+    )
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -53,7 +62,7 @@ def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 128,
+    block_q: int = 192,  # 256 overflows the 16MB scoped VMEM by ~0.1MB at Skv=8192
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Multi-head attention over (B, Sq, H, D); K/V (B, Skv, H, D).

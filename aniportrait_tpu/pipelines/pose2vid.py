@@ -326,6 +326,8 @@ class Pose2VideoPipeline:
         seed: int = 42,
         windowed: bool = True,
         decode_chunk: int = 8,
+        interpolation_factor: int = 1,
+        interp_method: str = "linear",
     ) -> np.ndarray:
         """All images are uint8 RGB numpy arrays (H, W, 3).
         Returns video (L, H, W, 3) float32 in [0, 1]."""
@@ -371,6 +373,11 @@ class Pose2VideoPipeline:
             latents = jax.block_until_ready(
                 sampler(m.denoising_params, latents, ctx_cfg, banks, pose_fea)
             )
+        if interpolation_factor > 1:
+            from aniportrait_tpu.pipelines.interpolation import interpolate_latents
+
+            latents = interpolate_latents(latents, interpolation_factor, interp_method)
+
         with self.timer.phase("vae_decode"):
             video = jax.block_until_ready(self._decode(latents, decode_chunk))
         return np.asarray(video).astype(np.float32) / 255.0

@@ -26,7 +26,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_default_prng_impl", "rbg")
+    from aniportrait_tpu.utils.jax_setup import setup
+
+    setup()
 
     from aniportrait_tpu.factory import build_model_defs, init_random_params
     from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline

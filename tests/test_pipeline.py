@@ -51,3 +51,29 @@ def test_deterministic_seed(pipeline):
     v1 = pipeline(ref, poses, None, **kw)
     v2 = pipeline(ref, poses, None, **kw)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_latent_interpolation():
+    import jax.numpy as jnp
+    import torch
+
+    from aniportrait_tpu.pipelines.interpolation import interpolate_latents, slerp
+
+    rs = np.random.RandomState(0)
+    lat = rs.randn(1, 4, 8, 8, 4).astype(np.float32)
+    out = interpolate_latents(jnp.asarray(lat), 3, "slerp")
+    assert out.shape == (1, 10, 8, 8, 4)
+    # endpoints preserved
+    np.testing.assert_allclose(np.asarray(out[:, 0]), lat[:, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, -1]), lat[:, -1], atol=1e-6)
+
+    # slerp parity vs reference formula (src/pipelines/utils.py:19-29)
+    v0 = torch.from_numpy(rs.randn(8, 8, 4).astype(np.float32))
+    v1 = torch.from_numpy(rs.randn(8, 8, 4).astype(np.float32))
+    t = 0.3
+    u0, u1 = v0 / v0.norm(), v1 / v1.norm()
+    dot = (u0 * u1).sum()
+    omega = dot.acos()
+    ref = (((1.0 - t) * omega).sin() * v0 + (t * omega).sin() * v1) / omega.sin()
+    out = slerp(jnp.asarray(v0.numpy()), jnp.asarray(v1.numpy()), t)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)

@@ -24,6 +24,8 @@ def parse_args():
     p.add_argument("--config", type=str, default="./configs/train/stage2.yaml")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model preset (CI/smoke runs)")
     return p.parse_args()
 
 
@@ -33,7 +35,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_default_prng_impl", "rbg")
+    from aniportrait_tpu.utils.jax_setup import setup
+
+    setup()
 
     from aniportrait_tpu.config import load_config
     from aniportrait_tpu.factory import build_model_defs, init_random_params
@@ -60,7 +64,7 @@ def main():
     scheduler = DDIMScheduler(**train_sched_kwargs)
     prediction_type = train_sched_kwargs.get("prediction_type", "epsilon")
 
-    defs = build_model_defs(size="full", use_motion_module=True)
+    defs = build_model_defs(size="tiny" if args.tiny else "full", use_motion_module=True)
     defs["scheduler"] = scheduler
     modules = init_random_params(defs)
 
@@ -126,7 +130,10 @@ def main():
         uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
     )
 
-    mesh = make_mesh()
+    # data-parallel mesh no larger than the batch allows
+    n_dev = len(jax.devices())
+    mesh_size = max(d for d in range(1, n_dev + 1) if int(cfg.train_bs) % d == 0)
+    mesh = make_mesh(mesh_size)
     state = init_train_state(params, batch_stats, tx)
     state = replicate(state, mesh)
 
