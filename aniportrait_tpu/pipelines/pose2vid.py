@@ -31,7 +31,6 @@ TPU-first deviations (output-identical):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 

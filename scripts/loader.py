@@ -27,7 +27,6 @@ from aniportrait_tpu.weights.convert import (
     convert_unet,
     convert_vae,
     load_torch_state_dict,
-    _deep_merge,
 )
 
 
