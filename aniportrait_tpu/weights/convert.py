@@ -261,24 +261,26 @@ def unet_rules() -> List[Rule]:
         (r"conv_norm_out\.bias", "conv_norm_out/bias", t_none),
         (r"conv_out\.weight", "conv_out/conv/kernel", t_conv2d),
         (r"conv_out\.bias", "conv_out/conv/bias", t_none),
+        # Down/Upsample3D wrap an InflatedConv (itself containing nn.Conv
+        # 'conv'): flax path is <name>/conv/conv/*
         (
             r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.weight",
-            "down_\\1_downsample/conv/kernel",
+            "down_\\1_downsample/conv/conv/kernel",
             t_conv2d,
         ),
         (
             r"down_blocks\.(\d+)\.downsamplers\.0\.conv\.bias",
-            "down_\\1_downsample/conv/bias",
+            "down_\\1_downsample/conv/conv/bias",
             t_none,
         ),
         (
             r"up_blocks\.(\d+)\.upsamplers\.0\.conv\.weight",
-            "up_\\1_upsample/conv/kernel",
+            "up_\\1_upsample/conv/conv/kernel",
             t_conv2d,
         ),
         (
             r"up_blocks\.(\d+)\.upsamplers\.0\.conv\.bias",
-            "up_\\1_upsample/conv/bias",
+            "up_\\1_upsample/conv/conv/bias",
             t_none,
         ),
     ]
