@@ -38,7 +38,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from aniportrait_tpu.models.clip_vision import clip_preprocess
 from aniportrait_tpu.pipelines.context import uniform_context_windows
 from aniportrait_tpu.schedulers import DDIMScheduler
 

@@ -93,3 +93,50 @@ output_dir: '{tmp_path}/out'
     rec = json.loads(log.read_text().splitlines()[0])
     assert np.isfinite(rec["loss"])
     assert (tmp_path / "out" / "smoke" / "final_params.npz").exists()
+
+
+def test_stage2_smoke(tmp_path):
+    mpath = _make_dataset(str(tmp_path))
+    cfg = f"""
+data:
+  json_path: "{mpath}"
+  sample_size: [64, 64]
+  sample_stride: 1
+  sample_n_frames: 2
+  sample_stride_aug: True
+solver:
+  max_train_steps: 1
+  max_grad_norm: 1.0
+  learning_rate: 1.0e-5
+  adam_weight_decay: 1.0e-2
+noise_scheduler_kwargs:
+  num_train_timesteps: 1000
+  beta_start: 0.00085
+  beta_end: 0.012
+  beta_schedule: "scaled_linear"
+  steps_offset: 1
+  clip_sample: false
+train_bs: 1
+uncond_ratio: 0.1
+noise_offset: 0.05
+snr_gamma: 5.0
+enable_zero_snr: True
+seed: 42
+resume_from_checkpoint: ''
+checkpointing_steps: 1000
+exp_name: 'smoke2'
+output_dir: '{tmp_path}/out'
+stage1_ckpt_dir: '{tmp_path}/nonexistent'
+stage1_ckpt_step: 0
+"""
+    cfg_path = tmp_path / "stage2.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="", USE_TF="0", XLA_FLAGS="")
+    result = subprocess.run(
+        [sys.executable, "train_stage_2.py", "--config", str(cfg_path),
+         "--tiny", "--random-init", "--max-steps", "1"],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    assert (tmp_path / "out" / "smoke2" / "motion_module_final.npz").exists()
