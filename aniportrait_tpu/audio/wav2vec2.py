@@ -10,7 +10,7 @@ video frames, so ~49.9 Hz wav2vec frames match the target fps.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -28,7 +28,7 @@ position.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -9,8 +9,6 @@ xformers/torch-SDPA path (reference ``src/models/attention.py`` +
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -22,8 +22,7 @@ TPU mapping: one jitted step, data-parallel over the batch axis of a
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

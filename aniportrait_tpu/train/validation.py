@@ -55,7 +55,7 @@ def log_validation(
     num_inference_steps: int = 20,
 ):
     """Sample the current model and write ref/pose/result grids."""
-    from aniportrait_tpu.utils.util import save_videos_grid, write_video
+    from aniportrait_tpu.utils.util import save_videos_grid
 
     os.makedirs(out_dir, exist_ok=True)
     modules = pipeline_from_train_state(defs, vae_params, clip_params, state)

@@ -14,7 +14,6 @@ import os.path as osp
 import random
 import shutil
 import subprocess
-from pathlib import Path
 from typing import List, Optional
 
 import numpy as np

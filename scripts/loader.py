@@ -10,7 +10,7 @@ strict=False overlay of the AniPortrait fine-tuned .pth files).
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from aniportrait_tpu.config import Config, load_config
 from aniportrait_tpu.factory import build_model_defs
 from aniportrait_tpu.pipelines.pose2vid import PipelineModules, Pose2VideoPipeline
-from aniportrait_tpu.schedulers import DDIMScheduler
 from aniportrait_tpu.weights.convert import (
     convert_audio2mesh,
     convert_audio2pose,

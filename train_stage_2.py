@@ -49,7 +49,7 @@ def main():
         make_optimizer,
         make_train_step,
     )
-    from aniportrait_tpu.utils.util import delete_additional_ckpt, seed_everything
+    from aniportrait_tpu.utils.util import seed_everything
 
     cfg = load_config(args.config)
     seed_everything(cfg.seed)
