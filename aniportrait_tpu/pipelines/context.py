@@ -17,11 +17,15 @@ import numpy as np
 
 
 def ordered_halving(val: int) -> float:
-    """Bit-reversed fraction in [0, 1) (reference context.py:7-12)."""
-    bin_str = f"{val:064b}"
-    bin_flip = bin_str[::-1]
-    as_int = int(bin_flip, 2)
-    return as_int / (1 << 64)
+    """Bit-reversed fraction in [0, 1): the van-der-Corput base-2 radical
+    inverse of ``val`` over 64 bits.  Step s=1 -> 1/2, s=2 -> 1/4, s=3 -> 3/4,
+    ... — a low-discrepancy phase used to rotate window boundaries between
+    denoise steps (behaviour matches reference context.py:7-12)."""
+    rev, v = 0, int(val)
+    for _ in range(64):
+        rev = (rev << 1) | (v & 1)
+        v >>= 1
+    return rev / 2.0**64
 
 
 def uniform(
@@ -33,26 +37,36 @@ def uniform(
     context_overlap: int = 4,
     closed_loop: bool = True,
 ):
-    """Yield overlapping frame-index windows (generator, reference-compatible)."""
+    """Yield overlapping frame-index windows.
+
+    Closed-form construction: per dilation level ``d`` (a power of two), the
+    starts form the arithmetic progression ``first + k*hop`` with
+    ``hop = context_size*d - context_overlap``, and each window is
+    ``start + d*[0..context_size)`` modulo ``num_frames``.  The progression's
+    origin is rotated per denoise step by the van-der-Corput phase so window
+    seams don't pile up at the same frames across steps.  Output is verified
+    bit-identical to the reference scheduler (src/pipelines/context.py:15-42)
+    by tests/test_pipeline.py::test_context_windows_golden.
+    """
     if num_frames <= context_size:
         yield list(range(num_frames))
         return
 
-    context_stride = min(
+    n_levels = min(
         context_stride, int(np.ceil(np.log2(num_frames / context_size))) + 1
     )
+    phase = ordered_halving(step)
+    pad = int(round(num_frames * phase))
+    tail = 0 if closed_loop else -context_overlap
 
-    for context_step in 1 << np.arange(context_stride):
-        pad = int(round(num_frames * ordered_halving(step)))
-        for j in range(
-            int(ordered_halving(step) * context_step) + pad,
-            num_frames + pad + (0 if closed_loop else -context_overlap),
-            (context_size * context_step - context_overlap),
-        ):
-            yield [
-                e % num_frames
-                for e in range(j, j + context_size * context_step, context_step)
-            ]
+    for dilation in (1 << lvl for lvl in range(n_levels)):
+        hop = context_size * dilation - context_overlap
+        first = int(phase * dilation) + pad
+        starts = np.arange(first, num_frames + pad + tail, hop, dtype=np.int64)
+        offsets = np.arange(context_size, dtype=np.int64) * dilation
+        windows = (starts[:, None] + offsets[None, :]) % num_frames
+        for row in windows:
+            yield [int(e) for e in row]
 
 
 def get_context_scheduler(name: str) -> Callable:

@@ -49,6 +49,37 @@ def test_matches_generator():
         assert [list(x) for x in arr] == gen
 
 
+def test_context_windows_golden():
+    """The closed-form scheduler must be bit-identical to the reference
+    generator's output (golden tables captured from the verified round-1
+    implementation across 120 (frames, step, size, overlap, stride, loop)
+    combinations)."""
+    import pathlib
+
+    from aniportrait_tpu.pipelines.context import uniform
+
+    d = np.load(pathlib.Path(__file__).parent / "fixtures" / "context_windows_golden.npz")
+    for i, (n, step, size, ov, cs, loop) in enumerate(d["cases"]):
+        wins = list(
+            uniform(
+                step=int(step),
+                num_frames=int(n),
+                context_size=int(size),
+                context_stride=int(cs),
+                context_overlap=int(ov),
+                closed_loop=bool(loop),
+            )
+        )
+        flat = (
+            np.concatenate([np.asarray(w, np.int32) for w in wins])
+            if wins
+            else np.zeros(0, np.int32)
+        )
+        lens = np.asarray([len(w) for w in wins], np.int32)
+        assert np.array_equal(flat, d[f"flat_{i}"]), (i, n, step, size, ov, cs, loop)
+        assert np.array_equal(lens, d[f"lens_{i}"])
+
+
 def test_all_steps_table():
     tab = windows_for_all_steps(num_steps=25, num_frames=48)
     assert len(tab) == 25
