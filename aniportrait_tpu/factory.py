@@ -36,8 +36,42 @@ TINY = dict(
     vae=dict(block_out_channels=(32, 32, 64, 64)),
     clip=dict(hidden=32, layers=2, heads=4, intermediate=64, patch=8,
               image_size=224, projection_dim=16),
-    pose_guider=dict(noise_latent_channels=32),
+    pose_guider=dict(noise_latent_channels=32, attn_heads=4, attn_dim_head=8),
 )
+
+# Minimum architecture that still exercises every component TYPE (down/mid/up
+# with spatial attention + motion module, VAE, CLIP, pose pyramid): used by
+# the driver's dryrun_multichip, where single-core XLA:CPU compile time of
+# the full train step is the binding constraint.
+MICRO = dict(
+    unet=dict(block_out_channels=(32, 32), attention_heads=4,
+              cross_attention_dim=16, layers_per_block=1),
+    vae=dict(block_out_channels=(32, 32, 32, 32)),
+    clip=dict(hidden=32, layers=1, heads=4, intermediate=64, patch=8,
+              image_size=32, projection_dim=16),
+    pose_guider=dict(noise_latent_channels=32, attn_heads=4, attn_dim_head=8,
+                     num_stages=2),
+)
+
+SIZES = {"full": FULL, "tiny": TINY, "micro": MICRO}
+
+
+def pose_feature_shapes(cfg, b: int, f: int, hl: int, wl: int | None = None):
+    """Shapes of the pose-guider feature list for a UNet latent (hl, wl).
+
+    pose[0] matches the latent grid; pose[i+1] sits at the resolution AFTER
+    down block i's downsample with channels == unet ch[i]
+    (reference unet_3d.py:484-510)."""
+    wl = wl or hl
+    ch = list(cfg["unet"]["block_out_channels"])
+    n = len(ch)
+    shapes = [(b, f, hl, wl, ch[0])]
+    h, w = hl, wl
+    for i in range(n):
+        if i < n - 1:
+            h, w = h // 2, w // 2
+        shapes.append((b, f, h, w, ch[i]))
+    return shapes
 
 INFERENCE_SCHEDULER = dict(
     beta_start=0.00085,
@@ -56,26 +90,106 @@ def build_model_defs(
     use_motion_module: bool = True,
     dtype=jnp.float32,
     scheduler_kwargs: Optional[Dict[str, Any]] = None,
+    gradient_checkpointing: bool = False,
 ) -> Dict[str, Any]:
-    cfg = FULL if size == "full" else TINY
     return dict(
-        vae=AutoencoderKL(**cfg["vae"], dtype=dtype),
-        clip=CLIPVisionModelWithProjection(**cfg["clip"], dtype=dtype),
-        reference_unet=AniUNet(
-            **cfg["unet"], use_motion_module=False, has_output_head=False, dtype=dtype
+        **_build_defs_inner(
+            size, use_motion_module, dtype, gradient_checkpointing
         ),
-        denoising_unet=AniUNet(
-            **cfg["unet"], use_motion_module=use_motion_module, dtype=dtype
-        ),
-        pose_guider=PoseGuider(**cfg["pose_guider"], dtype=dtype),
         scheduler=DDIMScheduler(**(scheduler_kwargs or INFERENCE_SCHEDULER)),
         size=size,
     )
 
 
+def _build_defs_inner(size, use_motion_module, dtype, gradient_checkpointing):
+    cfg = SIZES[size]
+    return dict(
+        vae=AutoencoderKL(**cfg["vae"], dtype=dtype),
+        clip=CLIPVisionModelWithProjection(**cfg["clip"], dtype=dtype),
+        reference_unet=AniUNet(
+            **cfg["unet"], use_motion_module=False, has_output_head=False,
+            gradient_checkpointing=gradient_checkpointing, dtype=dtype
+        ),
+        denoising_unet=AniUNet(
+            **cfg["unet"], use_motion_module=use_motion_module,
+            gradient_checkpointing=gradient_checkpointing, dtype=dtype
+        ),
+        pose_guider=PoseGuider(**cfg["pose_guider"], dtype=dtype),
+    )
+
+
+def _fill_abstract(tree, seed: int = 0):
+    """Materialise an ``eval_shape`` pytree with host-side numpy values.
+
+    Compiling the flax ``init`` functions on a 1-core CPU host costs minutes
+    (XLA:CPU is single-threaded); ``eval_shape`` traces without compiling, and
+    a numpy fill gives statistically-sane parameters: norm scales/BN variances
+    one, biases/BN means zero, everything else N(0, 0.02).
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+
+    def fill(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        shape, dtype = leaf.shape, leaf.dtype
+        if name in ("scale", "var"):
+            return np.ones(shape, dtype)
+        if name in ("bias", "mean"):
+            return np.zeros(shape, dtype)
+        return (rs.randn(*shape) * 0.02).astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(fill, tree)
+
+
+def init_abstract_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules:
+    """Like :func:`init_random_params` but with ZERO XLA compilation —
+    shapes from ``jax.eval_shape``, values from numpy. Use wherever real
+    pretrained weights will be loaded anyway or only plumbing is tested
+    (the driver's ``dryrun_multichip``, sharding tests)."""
+    cfg = SIZES[defs["size"]]
+    proj = cfg["clip"]["projection_dim"]
+    img = cfg["clip"]["image_size"]
+    key = jax.random.PRNGKey(seed)
+
+    x1 = jnp.zeros((1, 1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, proj))
+    pose_fea = [jnp.zeros(s) for s in pose_feature_shapes(cfg, 1, 1, 8)]
+
+    shapes = dict(
+        vae=jax.eval_shape(defs["vae"].init, key, jnp.zeros((1, 64, 64, 3))),
+        clip=jax.eval_shape(defs["clip"].init, key, jnp.zeros((1, img, img, 3))),
+        ref=jax.eval_shape(
+            lambda k: defs["reference_unet"].init(k, x1, t, ctx, capture_banks=True),
+            key,
+        ),
+        den=jax.eval_shape(
+            lambda k: defs["denoising_unet"].init(k, x1, t, ctx, pose_cond_fea=pose_fea),
+            key,
+        ),
+        pg=jax.eval_shape(defs["pose_guider"].init, key, jnp.zeros((1, 1, 64, 64, 3))),
+    )
+    vals = _fill_abstract(shapes, seed)
+
+    return PipelineModules(
+        vae=defs["vae"],
+        vae_params=vals["vae"]["params"],
+        clip=defs["clip"],
+        clip_params=vals["clip"]["params"],
+        reference_unet=defs["reference_unet"],
+        reference_params=vals["ref"]["params"],
+        denoising_unet=defs["denoising_unet"],
+        denoising_params=vals["den"]["params"],
+        pose_guider=defs["pose_guider"],
+        pose_guider_variables=vals["pg"],
+        scheduler=defs["scheduler"],
+    )
+
+
 def init_random_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules:
     """Random-init all parameters (for tests/benchmarks without checkpoints)."""
-    cfg = FULL if defs["size"] == "full" else TINY
+    cfg = SIZES[defs["size"]]
     proj = cfg["clip"]["projection_dim"]
     img = cfg["clip"]["image_size"]
     key = jax.random.PRNGKey(seed)
@@ -90,14 +204,7 @@ def init_random_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules:
         lambda k: defs["reference_unet"].init(k, x1, t, ctx, capture_banks=True)
     )(key)["params"]
 
-    nc = cfg["pose_guider"]["noise_latent_channels"]
-    pose_fea = [
-        jnp.zeros((1, 1, 8, 8, nc)),
-        jnp.zeros((1, 1, 4, 4, nc)),
-        jnp.zeros((1, 1, 2, 2, nc * 2)),
-        jnp.zeros((1, 1, 1, 1, nc * 4)),
-        jnp.zeros((1, 1, 1, 1, nc * 4)),
-    ]
+    pose_fea = [jnp.zeros(s) for s in pose_feature_shapes(cfg, 1, 1, 8)]
     den_p = jax.jit(
         lambda k: defs["denoising_unet"].init(k, x1, t, ctx, pose_cond_fea=pose_fea)
     )(key)["params"]

@@ -92,6 +92,15 @@ class PoseGuiderTransformer(nn.Module):
 class PoseGuider(nn.Module):
     noise_latent_channels: int = 320
     use_ca: bool = True
+    # reference pose_guider.py:181-308 fixes the per-scale transformer at
+    # heads=16, head_dim=88 (inner 1408) independent of the pyramid width;
+    # configurable so test-scale models stay small
+    attn_heads: int = 16
+    attn_dim_head: int = 88
+    # pyramid stages (reference: 4 -> features at /16,/32,/64,/64 with
+    # channels nc,2nc,4nc,4nc); smaller UNets (fewer down blocks) take a
+    # truncated pyramid — stage count must equal the UNet's down-block count
+    num_stages: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,15 +141,28 @@ class PoseGuider(nn.Module):
 
         fea: List[jnp.ndarray] = [unfold_frames(x, f)]
 
-        # pyramid (pose_guider.py:52-89): (out_c, stride of second conv)
-        pyramid = [(nc, nc, 2), (nc, nc * 2, 2), (nc * 2, nc * 4, 2), (nc * 4, nc * 4, None)]
+        # pyramid (pose_guider.py:52-89): stage i outputs nc * 2^min(i, n-2)
+        # (reference n=4: nc, 2nc, 4nc, 4nc); the LAST stage is unstrided and
+        # keeps its input width (only the strided second conv changes
+        # channels), so the final two stages share a width — mirroring the
+        # SD block_out_channels pattern (…, 1280, 1280)
+        n = self.num_stages
+        outs = [nc * (2 ** min(i, n - 2)) for i in range(n)] if n >= 2 else [nc]
+        ins = [nc] + outs[:-1]
+        pyramid = [
+            (ins[i], outs[i], 2 if i < n - 1 else None) for i in range(n)
+        ]
         for i, (c_in, c_out, s2) in enumerate(pyramid):
             x = ConvBNRelu(c_in, 3, 1, dtype=self.dtype, name=f"pyr_{i}_0")(x, train)
             if s2 is not None:
                 x = ConvBNRelu(c_out, 3, s2, dtype=self.dtype, name=f"pyr_{i}_1")(x, train)
             if self.use_ca:
                 x = PoseGuiderTransformer(
-                    channels=x.shape[-1], dtype=self.dtype, name=f"cross_attn_{i + 1}"
+                    channels=x.shape[-1],
+                    heads=self.attn_heads,
+                    dim_head=self.attn_dim_head,
+                    dtype=self.dtype,
+                    name=f"cross_attn_{i + 1}",
                 )(x)
             fea.append(unfold_frames(x, f))
 

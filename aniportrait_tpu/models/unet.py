@@ -60,10 +60,17 @@ class AniUNet(nn.Module):
     motion_pe_max_len: int = 32
     use_inflated_groupnorm: bool = True
     has_output_head: bool = True
+    # remat every resnet/attention/motion block: trades recompute for HBM,
+    # the reference's stage-2 lever (configs/train/stage2.yaml:11,
+    # unet_3d_blocks.py:411-438) — required to fit 16-frame 512^2 training
+    gradient_checkpointing: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _motion(self, channels, name):
-        return MotionModule(
+        cls = (
+            nn.remat(MotionModule) if self.gradient_checkpointing else MotionModule
+        )
+        return cls(
             channels=channels,
             heads=self.motion_heads,
             num_transformer_blocks=self.motion_transformer_blocks,
@@ -103,8 +110,19 @@ class AniUNet(nn.Module):
         banks: Dict[str, jnp.ndarray] = {}
         f = sample.shape[1]
 
+        remat = self.gradient_checkpointing
+        ResBlock = nn.remat(ResnetBlock3D) if remat else ResnetBlock3D
+        # __call__(self, x, context, ref_bank, drop_ref, capture_bank,
+        #          drop_mode): statics are capture_bank and drop_mode
+        #          (flax static_argnums count self as 0)
+        STrans = (
+            nn.remat(SpatialTransformer, static_argnums=(5, 6))
+            if remat
+            else SpatialTransformer
+        )
+
         def spatial(x, key, context):
-            st = SpatialTransformer(
+            st = STrans(
                 channels=x.shape[-1],
                 heads=self.attention_heads,
                 cross_attention_dim=self.cross_attention_dim,
@@ -113,11 +131,11 @@ class AniUNet(nn.Module):
             )
             x, captured = st(
                 x,
-                context=context,
-                ref_bank=None if ref_banks is None else ref_banks.get(key),
-                drop_ref=drop_ref,
-                capture_bank=capture_banks,
-                drop_mode=drop_mode,
+                context,
+                None if ref_banks is None else ref_banks.get(key),
+                drop_ref,
+                capture_banks,
+                drop_mode,
             )
             if captured:
                 banks[key] = captured[0]
@@ -141,7 +159,7 @@ class AniUNet(nn.Module):
             res = 2**i
             has_motion = self.use_motion_module and res in self.motion_module_resolutions
             for j in range(self.layers_per_block):
-                sample = ResnetBlock3D(
+                sample = ResBlock(
                     out_channels=out_c,
                     use_inflated_groupnorm=self.use_inflated_groupnorm,
                     dtype=self.dtype,
@@ -163,7 +181,7 @@ class AniUNet(nn.Module):
         # ----------------------------------------------------------------- mid
         mid_c = ch[-1]
         mid_motion = self.use_motion_module and self.motion_module_mid_block
-        sample = ResnetBlock3D(
+        sample = ResBlock(
             out_channels=mid_c,
             use_inflated_groupnorm=self.use_inflated_groupnorm,
             dtype=self.dtype,
@@ -172,7 +190,7 @@ class AniUNet(nn.Module):
         sample = spatial(sample, "mid_0", encoder_hidden_states)
         if mid_motion:
             sample = self._motion(mid_c, "mid_motion_0")(sample)
-        sample = ResnetBlock3D(
+        sample = ResBlock(
             out_channels=mid_c,
             use_inflated_groupnorm=self.use_inflated_groupnorm,
             dtype=self.dtype,
@@ -189,7 +207,7 @@ class AniUNet(nn.Module):
             for j in range(self.layers_per_block + 1):
                 skip = res_stack.pop()
                 sample = jnp.concatenate([sample, skip], axis=-1)
-                sample = ResnetBlock3D(
+                sample = ResBlock(
                     out_channels=out_c,
                     use_inflated_groupnorm=self.use_inflated_groupnorm,
                     dtype=self.dtype,

@@ -9,11 +9,18 @@ xformers/torch-SDPA path (reference ``src/models/attention.py`` +
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 
 FLASH_MIN_LOGITS = 1 << 21  # sq * skv above which logits must not hit HBM
+
+
+def _impl_override() -> str:
+    # benchmarking/debug knob: force 'xla' or 'naive' regardless of size
+    return os.environ.get("ANIPORTRAIT_ATTN_IMPL", "auto")
 
 
 def _on_accelerator() -> bool:
@@ -41,18 +48,18 @@ def scaled_dot_product_attention(
         would materialise (B, H, Sq, Skv) f32 logits — tens of GB at 64x64).
     Returns: (B, Sq, H, D), in q.dtype.
     """
-    # the single-pass flash kernel keeps whole KV rows in VMEM: only
-    # worthwhile/feasible for head dims <= 256 (VAE's 512-dim single-head
-    # attention stays on XLA)
+    # blocked flash kernel (online softmax over KV chunks); head dims > 256
+    # (the VAE's 512-dim single-head attention) stay on XLA
+    if impl == "auto":
+        impl = _impl_override()
     big = q.shape[1] * k.shape[1] >= FLASH_MIN_LOGITS and q.shape[-1] <= 256
     if impl == "auto" and big and _on_accelerator():
         from aniportrait_tpu.ops.pallas_attention import flash_attention
 
         if kv_split is not None and drop_tail is not None:
-            out_cat = flash_attention(q, k, v)
-            out_self = flash_attention(q, k[:, :kv_split], v[:, :kv_split])
-            drop = drop_tail.astype(bool)[:, None, None, None]
-            return jnp.where(drop, out_self, out_cat)
+            # bank-drop fused into the kernel mask: ONE pass (the old path
+            # dispatched concat + self-only and selected — 2x the FLOPs)
+            return flash_attention(q, k, v, drop_tail=drop_tail, kv_split=kv_split)
         if bias is None:
             return flash_attention(q, k, v)
         # biased big attention falls through to XLA

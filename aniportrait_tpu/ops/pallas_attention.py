@@ -1,15 +1,25 @@
-"""Pallas TPU attention kernels.
+"""Pallas TPU flash-attention kernels.
 
-``flash_attention`` — memory-efficient multi-head attention used for the
-denoising UNet's big spatial self-attention with concatenated reference KV
-(SURVEY §3.2: 4096 queries x 8192 KV at 64x64).  The XLA path materialises
-the full (rows, heads, 4096, 8192) f32 logits (~32 GB at CFG batch 32 —
-exceeds HBM); this kernel keeps each q-block's logits in VMEM.
+Used for the denoising UNet's big spatial self-attention with concatenated
+reference KV (SURVEY §3.2: 4096 queries x 8192 KV at 64x64) — the role the
+reference fills with xformers CUDA kernels (reference ``attention.py:605-722``,
+``train_stage_1.py:342-349``).
 
-Layout: heads are folded into the grid's row axis; blocks are
-(q_block, head_dim_padded) — last two dims tile-aligned.  Head dim is
-zero-padded to 128 lanes (SD-1.5 head dims are 40/80/160); softmax scale
-uses the TRUE head dim.
+Design (TPU-first):
+  * Online-softmax over KV blocks (classic flash attention): KV streams
+    through VMEM in ``block_kv`` chunks; running max / denominator / f32
+    accumulator live in VMEM scratch. Nothing of size (Sq, Skv) ever exists.
+  * The reference-bank CFG semantics are FUSED into the kernel: rows flagged
+    ``drop_tail`` mask out KV columns past ``kv_split`` (the bank tokens), so
+    the unconditional CFG half attends self-only in the SAME pass — no
+    second dispatch, no (B,H,Sq,Skv) bias tensor
+    (reference mutual_self_attention.py:166-186 re-runs dropped rows).
+  * Custom VJP with a two-kernel flash backward (dq; dk+dv) so the training
+    step never materialises logits either — required for stage-2 16-frame
+    512^2 training (16 rows x 8 heads x 4096 x 8192 f32 logits would be
+    ~17 GB).
+  * Heads fold into the grid's row axis; head_dim pads to the 128-lane
+    tile. m/l scratch rows are (block_q, 128) per the TPU min-tile.
 """
 
 from __future__ import annotations
@@ -22,85 +32,382 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e9
+NEG_INF = -1e30  # f32 logits; exp(NEG_INF - m) == 0 exactly
 
 
-def _flash_kernel(scale, q_ref, k_ref, v_ref, o_ref):
-    # K/V stay in their storage dtype (bf16 in production): the MXU takes
-    # bf16 inputs with f32 accumulation natively, and skipping the f32
-    # up-cast halves VMEM so q-blocks can be larger.
-    q = q_ref[0]  # (bq, dp)
-    k = k_ref[0]  # (S_kv, dp)
+def _mask_block(logits, ki, block_kv, skv, kv_split, drop):
+    """Additive mask for one KV block: tail padding + dropped bank columns.
+
+    drop: (1, 1) int32 ref value broadcast over the block (0 or 1).
+    """
+    bq, bkv = logits.shape
+    cols = ki * block_kv + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+    valid = cols < skv
+    if kv_split is not None:
+        valid = jnp.logical_and(
+            valid, jnp.logical_or(drop == 0, cols < kv_split)
+        )
+    return jnp.where(valid, logits, NEG_INF)
+
+
+def _fwd_kernel(
+    scale, block_kv, skv, kv_split, n_kv,
+    q_ref, k_ref, v_ref, drop_ref,
+    o_ref, lse_ref,
+    acc_ref, m_ref, l_ref,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, dp) storage dtype — MXU takes bf16 with f32 accum
+    k = k_ref[0]  # (bkv, dp)
     v = v_ref[0]
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, S_kv) f32
-    m = jnp.max(logits, axis=1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=1, keepdims=True)
-    out = (
-        jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        / denom
+    ) * scale  # (bq, bkv) f32
+    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                         drop_ref[pl.program_id(0), 0])
+
+    m_prev = m_ref[:, :1]  # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(logits, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        l = l_ref[:, :1]
+        # fully-masked rows (l == 0) only occur in q padding; emit 0 and set
+        # lse = 0 so the backward's exp(logits - lse) stays finite (m is
+        # NEG_INF there; m + log(l) would be -inf and exp(0 - -inf) = inf)
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+        lse = jnp.where(l == 0.0, 0.0, m_ref[:, :1] + jnp.log(safe))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(lse_ref.dtype)
 
 
-def _pad_head(x, dp):
-    d = x.shape[-1]
-    if d == dp:
+def _dq_kernel(
+    scale, block_kv, skv, kv_split, n_kv,
+    q_ref, k_ref, v_ref, drop_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc_ref,
+):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]  # (bq, dp)
+    lse = lse_ref[0][:, :1]  # (bq, 1) f32
+    delta = delta_ref[0][:, :1]  # (bq, 1) f32  rowsum(do * o)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                         drop_ref[pl.program_id(0), 0])
+    p = jnp.exp(logits - lse)  # (bq, bkv) — masked cols are exactly 0
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bkv)
+    ds = p * (dp - delta) * scale
+    dq_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        dq_ref[0] = dq_acc_ref[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    scale, block_kv, block_q, skv, sq, kv_split, n_q,
+    q_ref, k_ref, v_ref, drop_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc_ref, dv_acc_ref,
+):
+    qi = pl.program_id(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    q = q_ref[0]  # (bq, dp)
+    k = k_ref[0]  # (bkv, dp)
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    ki = pl.program_id(1)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bkv)
+    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                         drop_ref[pl.program_id(0), 0])
+    # q-padding rows have lse == log(safe)=0 with p = exp(NEG_INF) = 0: harmless
+    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+    logits = jnp.where(rows < sq, logits, NEG_INF)
+    p = jnp.exp(logits - lse)
+
+    dv_acc_ref[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bkv, dp)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale  # (bq, bkv)
+    dk_acc_ref[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bkv, dp)
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc_ref[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    cur = x.shape[axis]
+    if cur == size:
         return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, dp - d)]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, size - cur)
     return jnp.pad(x, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def _fold_heads(x, dp):
+    """(B, S, H, D) -> (B*H, S, Dp) with the head dim zero-padded to dp."""
+    b, s, h, d = x.shape
+    x = _pad_to(x, dp, 3)
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, dp)
+
+
+def _plan(sq, skv, d, block_q, block_kv):
+    dp = max(128, ((d + 127) // 128) * 128)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    return dp, bq, bkv, sq_p, skv_p
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+)
+def _flash(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+    out, _ = _flash_fwd_impl(
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
+    )
+    return out
+
+
+def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    dp, bq, bkv, sq_p, skv_p = _plan(sq, skv, d, block_q, block_kv)
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+
+    qf = _pad_to(_fold_heads(q, dp), sq_p, 1)
+    kf = _pad_to(_fold_heads(k, dp), skv_p, 1)
+    vf = _pad_to(_fold_heads(v, dp), skv_p, 1)
+    rows = b * h
+    drop = jnp.repeat(drop_rows.astype(jnp.int32), h)[:, None]  # (rows, 1)
+
+    kernel = functools.partial(_fwd_kernel, scale, bkv, skv, kv_split, n_kv)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(rows, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda r, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, sq_p, dp), q.dtype),
+            jax.ShapeDtypeStruct((rows, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, drop)
+    out_bshd = (
+        out.reshape(b, h, sq_p, dp)[:, :, :sq, :d].transpose(0, 2, 1, 3)
+    )
+    return out_bshd, (qf, kf, vf, drop, out, lse)
+
+
+def _flash_fwd(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+    out, res = _flash_fwd_impl(
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
+    )
+    return out, (res, q.shape, k.shape[1])
+
+
+def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
+    (qf, kf, vf, drop, out_p, lse), q_shape, skv = saved
+    b, sq, h, d = q_shape
+    scale = 1.0 / math.sqrt(d)
+    rows, sq_p, dp = qf.shape
+    skv_p = kf.shape[1]
+    bq = min(block_q, sq_p)
+    bkv = min(block_kv, skv_p)
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+
+    dof = _pad_to(_fold_heads(g.astype(qf.dtype), dp), sq_p, 1)
+    # delta = rowsum(do * o) over the TRUE head dim (padding is zero anyway)
+    delta = jnp.sum(
+        dof.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, (rows, sq_p, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale, bkv, skv, kv_split, n_kv),
+        grid=(rows, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda r, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, sq_p, dp), qf.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, drop, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale, bkv, bq, skv, sq, kv_split, n_q),
+        grid=(rows, n_kv, n_q),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda r, ki, qi: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, ki, qi: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, ki, qi: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda r, ki, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, bq, dp), lambda r, ki, qi: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, ki, qi: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, ki, qi: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, dp), lambda r, ki, qi: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, dp), lambda r, ki, qi: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, skv_p, dp), kf.dtype),
+            jax.ShapeDtypeStruct((rows, skv_p, dp), vf.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, dp), jnp.float32),
+            pltpu.VMEM((bkv, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, drop, dof, lse, delta)
+
+    def unfold(x, s):
+        return (
+            x.reshape(b, h, x.shape[1], dp)[:, :, :s, :d].transpose(0, 2, 1, 3)
+        )
+
+    return unfold(dq, sq), unfold(dk, skv), unfold(dv, skv), None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kv_split", "block_q", "block_kv", "interpret")
+)
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 192,  # 256 overflows the 16MB scoped VMEM by ~0.1MB at Skv=8192
+    drop_tail: jnp.ndarray | None = None,
+    kv_split: int | None = None,
+    block_q: int = 512,
+    block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Multi-head attention over (B, Sq, H, D); K/V (B, Skv, H, D).
-    Whole KV rows stay resident in VMEM (fine for Skv <= ~16k at D<=128);
-    per-q-block logits never touch HBM."""
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
-    scale = 1.0 / math.sqrt(d)
-    dp = max(128, ((d + 127) // 128) * 128)
+    """Blocked flash attention over (B, Sq, H, D); K/V (B, Skv, H, D).
 
-    # (B, S, H, D) -> (B*H, S, Dp)
-    def fold(x, s):
-        return _pad_head(x, dp).transpose(0, 2, 1, 3).reshape(b * h, s, dp)
-
-    qf, kf, vf = fold(q, sq), fold(k, skv), fold(v, skv)
-
-    bq = min(block_q, sq)
-    grid = (b * h, pl.cdiv(sq, bq))
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, bq, dp), lambda r, i: (r, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, skv, dp), lambda r, i: (r, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, skv, dp), lambda r, i: (r, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, bq, dp), lambda r, i: (r, i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq, dp), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
-    out = out.reshape(b, h, sq, dp).transpose(0, 2, 1, 3)
-    return out[..., :d]
+    ``kv_split``/``drop_tail``: reference-bank CFG mode — KV is
+    ``concat([self (kv_split cols), bank])`` and batch rows with
+    ``drop_tail`` attend to the self columns only (fused mask; one pass).
+    Differentiable (flash backward, no materialised logits).
+    """
+    b = q.shape[0]
+    if drop_tail is None:
+        drop_tail = jnp.zeros((b,), jnp.int32)
+        kv_split = None
+    return _flash(q, k, v, drop_tail, kv_split, block_q, block_kv, interpret)
 
 
 def ref_attention_xla(q, k_self, v_self, k_bank, v_bank, drop_bank, rows_per_batch=1):
@@ -113,7 +420,7 @@ def ref_attention_xla(q, k_self, v_self, k_bank, v_bank, drop_bank, rows_per_bat
     is_bank = jnp.concatenate([jnp.zeros((s,), bool), jnp.ones((l,), bool)])
     bias = jnp.where(
         drop_bank[:, None, None, None].astype(bool) & is_bank[None, None, None, :],
-        NEG_INF,
+        -1e9,
         0.0,
     )
     return jax.nn.dot_product_attention(q, k, v, bias=bias)
@@ -121,20 +428,15 @@ def ref_attention_xla(q, k_self, v_self, k_bank, v_bank, drop_bank, rows_per_bat
 
 def ref_flash_attention(
     q, k_self, v_self, k_bank, v_bank, drop_bank,
-    rows_per_batch: int = 1, block_q: int = 128, interpret: bool = False,
+    rows_per_batch: int = 1, block_q: int = 512, interpret: bool = False,
 ):
-    """Reference-KV attention via two flash calls + per-row select.
-
-    Rows with ``drop_bank`` use self-only attention; others attend to
-    ``concat([self, bank])`` — the same computation the reference performs
-    (mutual_self_attention.py:147-186 runs the concat pass for all rows and
-    re-runs dropped rows self-only).
-    """
+    """Reference-KV attention as ONE fused flash call (bank mask in-kernel)."""
     bank_k = jnp.repeat(k_bank, rows_per_batch, axis=0)
     bank_v = jnp.repeat(v_bank, rows_per_batch, axis=0)
     k_cat = jnp.concatenate([k_self, bank_k], axis=1)
     v_cat = jnp.concatenate([v_self, bank_v], axis=1)
-    out_cat = flash_attention(q, k_cat, v_cat, block_q=block_q, interpret=interpret)
-    out_self = flash_attention(q, k_self, v_self, block_q=block_q, interpret=interpret)
-    drop = drop_bank.astype(bool)[:, None, None, None]
-    return jnp.where(drop, out_self, out_cat)
+    return flash_attention(
+        q, k_cat, v_cat,
+        drop_tail=drop_bank, kv_split=k_self.shape[1],
+        block_q=block_q, interpret=interpret,
+    )

@@ -36,12 +36,15 @@ def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
 
 
 def shard_batch(tree, mesh: Mesh, axis: int = 0):
-    """Shard every leaf's ``axis`` over the 'data' mesh axis."""
-    return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim, axis)), tree
+    """Shard every leaf's ``axis`` over the 'data' mesh axis.
+
+    One ``device_put`` call for the whole tree (a tree of shardings), not one
+    per leaf — per-leaf dispatch across many virtual devices is pathologically
+    slow on low-core hosts."""
+    return jax.device_put(
+        tree, jax.tree.map(lambda x: data_sharding(mesh, x.ndim, axis), tree)
     )
 
 
 def replicate(tree, mesh: Mesh):
-    sharding = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.device_put(tree, NamedSharding(mesh, P()))

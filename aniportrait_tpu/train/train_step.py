@@ -22,6 +22,7 @@ TPU mapping: one jitted step, data-parallel over the batch axis of a
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -109,6 +110,7 @@ def make_train_step(
     snr_gamma: float = 5.0,
     noise_offset: float = 0.05,
     uncond_ratio: float = 0.1,
+    compiler_options: Dict[str, Any] | None = None,
 ):
     """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``
     with ``frozen = (vae_params, clip_params)`` passed as arguments (NOT
@@ -205,7 +207,7 @@ def make_train_step(
             loss = err.mean()
         return loss, new_stats["batch_stats"]
 
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_options)
     def train_step(state: TrainState, frozen, batch, rng):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, frozen, batch, rng

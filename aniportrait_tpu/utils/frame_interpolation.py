@@ -6,11 +6,13 @@ TorchScript FiLM net (``film_net_fp16.pt``) and recursively inserts
 subdivision (frame_interpolation.py:22-69).
 
 This build ships the same subdivision harness with pluggable interpolators:
-  * ``film`` — FiLM-Net in flax (flow pyramid + fusion); weight conversion
-    from the shipped TorchScript blob (planned; the blob is not in the
-    snapshot).
-  * ``linear`` — midpoint cross-fade fallback so the -acc pipeline shape is
-    exercised end-to-end without the FiLM weights.
+  * ``film`` — FiLM-Net in flax (models/film_net.py: cascaded feature
+    pyramid + coarse-to-fine flow + fusion), fed by weights converted from
+    the TorchScript blob via ``weights.convert.convert_film`` (the blob is
+    absent from the snapshot; conversion is parity-tested against an
+    in-repo torch oracle, tests/test_film.py).
+  * ``linear`` — midpoint cross-fade fallback (explicit opt-in when no FiLM
+    weights are available) so the -acc pipeline shape still runs end-to-end.
 """
 
 from __future__ import annotations
@@ -21,14 +23,90 @@ import numpy as np
 
 
 def linear_midpoint(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
-    """Cross-fade midpoint; stand-in until FiLM weights are wired."""
+    """Cross-fade midpoint; explicit fallback when FiLM weights are absent."""
     return 0.5 * frame1 + 0.5 * frame2
 
 
-def init_frame_interpolation_model(backend: str = "linear") -> Callable:
+def _load_film(weights_path: str | None) -> Callable:
+    """Build a jitted FiLM midpoint fn (dt=0.5) from converted weights.
+
+    ``weights_path``: .npz of converted flax params (weights/convert.py:
+    convert_film + save via np.savez with '/'-joined keys), or a torch
+    ``film_net*.pt`` TorchScript blob converted on the fly.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.models.film_net import FilmInterpolator
+
+    model = FilmInterpolator(dtype=jnp.bfloat16)
+    params = None
+    if weights_path:
+        if weights_path.endswith(".npz"):
+            flat = np.load(weights_path)
+            params = {}
+            from aniportrait_tpu.weights.convert import set_in
+
+            for k in flat.files:
+                set_in(params, k, flat[k])
+        else:  # TorchScript blob
+            import torch
+
+            from aniportrait_tpu.weights.convert import convert_film
+
+            ts = torch.jit.load(weights_path, map_location="cpu")
+            params, unused = convert_film(
+                {k: v for k, v in ts.state_dict().items()}
+            )
+            if unused:
+                raise ValueError(f"unconverted FiLM keys: {unused[:10]}")
+    if params is None:
+        raise FileNotFoundError(
+            "film backend needs a weights path (film_net npz or TorchScript .pt)"
+        )
+
+    @jax.jit
+    def mid(x0, x1):
+        # (H, W, 3) in [0, 1] -> midpoint frame
+        out = model.apply(
+            {"params": params}, x0[None], x1[None], jnp.full((1,), 0.5)
+        )
+        return jnp.clip(out[0], 0.0, 1.0)
+
+    def fn(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
+        return np.asarray(mid(jnp.asarray(frame1), jnp.asarray(frame2)))
+
+    return fn
+
+
+def init_frame_interpolation_model(
+    backend: str = "film", weights_path: str | None = None
+) -> Callable:
+    """backend: 'film' (real interpolator; needs weights) or 'linear'
+    (cross-fade, explicit opt-in)."""
     if backend == "linear":
         return linear_midpoint
-    raise NotImplementedError(f"interpolation backend {backend!r} not available yet")
+    if backend == "film":
+        return _load_film(weights_path)
+    raise ValueError(f"unknown interpolation backend {backend!r}")
+
+
+def init_for_cli(weights_path: str | None) -> Callable:
+    """CLI -acc entry: FiLM when weights are available (flag/default path),
+    otherwise a LOUD downgrade to cross-fade — never a silent one."""
+    import os
+    import warnings
+
+    default = "./pretrained_model/film_net_fp16.pt"  # reference's path
+    path = weights_path or (default if os.path.exists(default) else None)
+    if path:
+        return _load_film(path)
+    warnings.warn(
+        "-acc: no FiLM weights found (pass --fi_weights or place "
+        "./pretrained_model/film_net_fp16.pt); falling back to linear "
+        "cross-fade — interpolated frames will ghost under large motion."
+    )
+    return linear_midpoint
 
 
 def batch_images_interpolation_tool(

@@ -30,6 +30,8 @@ def parse_args():
     parser.add_argument("--fps", type=int, default=30)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
+    parser.add_argument("--fi_weights", type=str, default=None,
+                        help="FiLM net weights (.pt TorchScript or converted .npz)")
     return parser.parse_args()
 
 
@@ -79,7 +81,7 @@ def main():
     from aniportrait_tpu.utils.draw_util import FaceMeshVisualizer
     from aniportrait_tpu.utils.frame_interpolation import (
         batch_images_interpolation_tool,
-        init_frame_interpolation_model,
+        init_for_cli,
     )
     from aniportrait_tpu.utils.mp_utils import LMKExtractor
     from aniportrait_tpu.utils.pose_util import project_points
@@ -101,7 +103,7 @@ def main():
 
     lmk_extractor = LMKExtractor()
     vis = FaceMeshVisualizer(forehead_edge=False)
-    frame_inter_model = init_frame_interpolation_model() if args.accelerate else None
+    frame_inter_model = init_for_cli(args.fi_weights) if args.accelerate else None
 
     for ref_image_path in config["test_cases"].keys():
         for audio_path in config["test_cases"][ref_image_path]:

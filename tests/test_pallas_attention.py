@@ -29,6 +29,62 @@ def test_ref_flash_attention_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
 
 
+def test_flash_uneven_lengths_match_xla():
+    """Sq/Skv not multiples of the block sizes: padding must be masked out."""
+    rs = np.random.RandomState(2)
+    R, S, L, H, D = 2, 100, 36, 2, 8
+    q = jnp.asarray(rs.randn(R, S, H, D).astype(np.float32))
+    ks = jnp.asarray(rs.randn(R, S, H, D).astype(np.float32))
+    vs = jnp.asarray(rs.randn(R, S, H, D).astype(np.float32))
+    kb = jnp.asarray(rs.randn(R, L, H, D).astype(np.float32))
+    vb = jnp.asarray(rs.randn(R, L, H, D).astype(np.float32))
+    drop = jnp.asarray(np.array([0, 1], np.int32))
+
+    with jax.default_matmul_precision("highest"):
+        out = ref_flash_attention(
+            q, ks, vs, kb, vb, drop, rows_per_batch=1, block_q=64, interpret=True
+        )
+        ref = ref_attention_xla(q, ks, vs, kb, vb, drop, rows_per_batch=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_flash_backward_matches_xla():
+    """Flash custom-VJP grads vs XLA autodiff grads (incl. bank-drop mask)."""
+    from aniportrait_tpu.ops.pallas_attention import flash_attention
+
+    rs = np.random.RandomState(3)
+    R, S, L, H, D = 2, 24, 12, 2, 8
+    q = jnp.asarray(rs.randn(R, S, H, D).astype(np.float32))
+    k = jnp.asarray(rs.randn(R, S + L, H, D).astype(np.float32))
+    v = jnp.asarray(rs.randn(R, S + L, H, D).astype(np.float32))
+    drop = jnp.asarray(np.array([1, 0], np.int32))
+    g = jnp.asarray(rs.randn(R, S, H, D).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, drop_tail=drop, kv_split=S, block_q=8, block_kv=16,
+            interpret=True,
+        )
+        return jnp.sum(out * g)
+
+    def loss_xla(q, k, v):
+        is_bank = jnp.arange(S + L) >= S
+        bias = jnp.where(
+            drop.astype(bool)[:, None, None, None] & is_bank[None, None, None, :],
+            -1e9, 0.0,
+        )
+        return jnp.sum(jax.nn.dot_product_attention(q, k, v, bias=bias) * g)
+
+    with jax.default_matmul_precision("highest"):
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3,
+            err_msg=f"grad mismatch: d{name}",
+        )
+
+
 def test_drop_mask_rows_ignore_bank():
     rs = np.random.RandomState(1)
     B, F, S, L, H, D = 1, 2, 8, 4, 1, 8

@@ -64,7 +64,17 @@ def main():
     scheduler = DDIMScheduler(**train_sched_kwargs)
     prediction_type = train_sched_kwargs.get("prediction_type", "epsilon")
 
-    defs = build_model_defs(size="tiny" if args.tiny else "full", use_motion_module=True)
+    # bf16 compute / f32 params+opt (reference fp16 via Accelerate); remat
+    # per stage2.yaml:11 gradient_checkpointing — 16-frame 512^2 doesn't fit
+    # HBM without it
+    mp = str(cfg.solver.get("mixed_precision", "no")).lower()
+    compute_dtype = jnp.bfloat16 if mp in ("bf16", "fp16") else jnp.float32
+    defs = build_model_defs(
+        size="tiny" if args.tiny else "full",
+        use_motion_module=True,
+        dtype=compute_dtype,
+        gradient_checkpointing=bool(cfg.solver.get("gradient_checkpointing", False)),
+    )
     defs["scheduler"] = scheduler
     modules = init_random_params(defs)
 
@@ -119,6 +129,11 @@ def main():
         weight_decay=float(cfg.solver.adam_weight_decay),
         max_grad_norm=float(cfg.solver.max_grad_norm),
     )
+    grad_accum = int(cfg.solver.get("gradient_accumulation_steps", 1))
+    if grad_accum > 1:
+        import optax
+
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     frozen = (vae_params, clip_params)
     train_step = make_train_step(
         defs,
@@ -154,8 +169,11 @@ def main():
     max_steps = args.max_steps or int(cfg.solver.max_train_steps)
     rng = jax.random.PRNGKey(int(cfg.seed))
     t0 = time.time()
+    from aniportrait_tpu.train.prefetch import prefetch
+
+    batches = prefetch(dataset.batches(int(cfg.train_bs)), depth=2)
     with mesh:
-        for step, batch in enumerate(dataset.batches(int(cfg.train_bs))):
+        for step, batch in enumerate(batches):
             if step >= max_steps:
                 break
             rng, sub = jax.random.split(rng)
