@@ -8,8 +8,10 @@ reference ships; the graph logic (anchors, decode, NMS, ROI math, projection)
 is reimplemented here, and the geometry solver lives in
 ``aniportrait_tpu.landmark.geometry``.
 
-Interpreters default to ``tf.lite`` (XNNPACK); the planned in-repo C++
-runner slots in behind the same ``InterpreterLike`` duck type.
+Interpreters default to ``tf.lite`` (XNNPACK) when tensorflow is importable;
+the in-repo C++ runner (``native/tflite_runner/``) slots in behind the same
+``InterpreterLike`` duck type via ``engine='native'`` and is the fallback in
+TF-less environments.
 
 Output matches reference ``mp_utils.LMKExtractor.__call__`` (mp_utils.py:63-91):
 ``{lmks (478,3), lmks3d (468,3), trans_mat (4,4), faces, bs (51)}``.
@@ -38,21 +40,53 @@ DEFAULT_TASK = os.path.join(
 )
 
 # MediaPipe face_blendshapes_graph landmark subset (146 points: contours +
-# irises).  NOTE: reconstructed from the public topology; blendshape scores
-# are only used downstream to pick the most-neutral frame
-# (reference vid2vid.py:174-177).
+# irises), as embedded in ``face_blendshapes.tflite`` itself — the model
+# carries the exact index tensor it was trained with; parsed at load time by
+# :func:`blendshape_subset_from_task` (this constant is the verified parse of
+# the reference's shipped bundle, kept as fallback).  Blendshape scores are
+# used downstream to pick the most-neutral frame (reference vid2vid.py:174-177).
 BLENDSHAPE_SUBSET = [
     0, 1, 4, 5, 6, 7, 8, 10, 13, 14, 17, 21, 33, 37, 39, 40, 46, 52, 53, 54,
     55, 58, 61, 63, 65, 66, 67, 70, 78, 80, 81, 82, 84, 87, 88, 91, 93, 95,
     103, 105, 107, 109, 127, 132, 133, 136, 144, 145, 146, 148, 149, 150,
     152, 153, 154, 155, 157, 158, 159, 160, 161, 162, 163, 168, 172, 173,
     176, 178, 181, 185, 191, 195, 197, 234, 246, 249, 251, 263, 267, 269,
-    270, 276, 282, 283, 284, 285, 288, 291, 293, 295, 296, 297, 300, 310,
-    311, 312, 314, 317, 318, 321, 323, 324, 332, 334, 336, 338, 356, 361,
-    362, 365, 373, 374, 375, 377, 378, 379, 380, 381, 382, 384, 385, 386,
-    387, 388, 389, 390, 397, 398, 400, 402, 405, 409, 415, 454, 466, 467,
+    270, 276, 282, 283, 284, 285, 288, 291, 293, 295, 296, 297, 300, 308,
+    310, 311, 312, 314, 317, 318, 321, 323, 324, 332, 334, 336, 338, 356,
+    361, 362, 365, 373, 374, 375, 377, 378, 379, 380, 381, 382, 384, 385,
+    386, 387, 388, 389, 390, 397, 398, 400, 402, 405, 409, 415, 454, 466,
     468, 469, 470, 471, 472, 473, 474, 475, 476, 477,
 ]
+
+
+def blendshape_subset_from_task(blendshapes_tflite: bytes) -> list:
+    """Extract the 146-landmark selection tensor from the blendshapes model.
+
+    The converted model embeds the exact landmark-index tensor the blendshape
+    head was trained on.  Rather than hardcoding a reconstruction of the
+    MediaPipe graph constant, scan the flatbuffer for the unique aligned
+    int32 run of >=100 strictly-increasing values inside [0, 478) — on the
+    reference's shipped bundle exactly one such run exists (length 146).
+    Falls back to :data:`BLENDSHAPE_SUBSET` if the scan is ambiguous.
+    """
+    arr = np.frombuffer(
+        blendshapes_tflite[: len(blendshapes_tflite) // 4 * 4], "<i4"
+    )
+    runs = []
+    i, n = 0, len(arr)
+    while i < n - 1:
+        if 0 <= arr[i] < 478 and arr[i] < arr[i + 1] < 478:
+            j = i + 1
+            while j < n - 1 and arr[j] < arr[j + 1] < 478:
+                j += 1
+            if j - i + 1 >= 100:
+                runs.append(arr[i : j + 1])
+            i = j + 1
+        else:
+            i += 1
+    if len(runs) == 1:
+        return [int(v) for v in runs[0]]
+    return list(BLENDSHAPE_SUBSET)
 
 
 class _TFLiteWrapper:
@@ -99,6 +133,7 @@ class FaceLandmarkerLite:
         self.det = _make_interpreter(det_bytes, engine)
         self.lmk = _make_interpreter(lmk_bytes, engine)
         self.bs = _make_interpreter(bs_bytes, engine)
+        self.blendshape_subset = blendshape_subset_from_task(bs_bytes)
         self.anchors = blazeface_short_range_anchors()
         self.meta = load_geometry_metadata(task_path)
         self.solver = GeometrySolver(self.meta)
@@ -206,7 +241,7 @@ class FaceLandmarkerLite:
         lmks = np.stack([x_img, y_img, z_img], axis=1)
 
         # blendshapes from the 146-point subset (normalised coords)
-        subset = lmks[BLENDSHAPE_SUBSET, :2].astype(np.float32)
+        subset = lmks[self.blendshape_subset, :2].astype(np.float32)
         bs_scores = np.asarray(_run(self.bs, subset[None])[0]).reshape(-1)
         bs_values = bs_scores[1:].tolist()  # drop neutral (mp_utils.py:69)
 

@@ -69,7 +69,7 @@ class DDIMScheduler:
         beta_end: float = 0.012,
         beta_schedule: str = "linear",
         clip_sample: bool = False,
-        set_alpha_to_one: bool = False,
+        set_alpha_to_one: bool = True,
         steps_offset: int = 1,
         prediction_type: str = "v_prediction",
         timestep_spacing: str = "trailing",

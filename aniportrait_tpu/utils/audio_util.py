@@ -5,22 +5,53 @@ Parity target: reference ``src/utils/audio_util.py`` — load audio at 16 kHz
 ``seq_len = ceil(samples / sr * fps)``.  librosa is not in this image, so
 WAV decoding uses scipy + polyphase resampling (numerically equivalent
 pipeline for 16 kHz mono features: wav2vec2-base's processor only
-normalises — do_normalize=True, no padding).
+normalises — do_normalize=True, no padding).  Non-WAV containers
+(mp3/m4a/mp4/ogg/...) are decoded through ffmpeg, matching librosa's
+any-format capability.
 """
 
 from __future__ import annotations
 
 import math
+import subprocess
 
 import numpy as np
 
 
+def _ffmpeg_decode(path: str, sampling_rate: int) -> np.ndarray:
+    """Decode any container ffmpeg understands to f32 mono PCM."""
+    import shutil
+
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            f"cannot decode {path!r}: not a plain WAV and ffmpeg is not "
+            "installed (non-WAV audio decode requires ffmpeg on PATH)"
+        )
+    proc = subprocess.run(
+        [
+            "ffmpeg", "-v", "error", "-i", path,
+            "-f", "f32le", "-acodec", "pcm_f32le",
+            "-ac", "1", "-ar", str(sampling_rate), "-",
+        ],
+        capture_output=True,
+        check=True,
+    )
+    return np.frombuffer(proc.stdout, np.float32).copy()
+
+
 def load_audio(path: str, sampling_rate: int = 16000) -> np.ndarray:
-    """Load an audio file to float32 mono at ``sampling_rate``."""
+    """Load an audio file to float32 mono at ``sampling_rate``.
+
+    WAV goes through scipy directly; anything else (or a WAV scipy cannot
+    parse, e.g. float64 or exotic chunks) falls back to ffmpeg.
+    """
     from scipy.io import wavfile
     from scipy.signal import resample_poly
 
-    sr, data = wavfile.read(path)
+    try:
+        sr, data = wavfile.read(path)
+    except ValueError:
+        return _ffmpeg_decode(path, sampling_rate)
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:

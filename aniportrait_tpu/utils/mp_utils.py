@@ -8,12 +8,19 @@ vertex buffer (reference face_landmark.py:2989-2993, 3173-3212).
 
 This build uses a pluggable backend:
   * ``mediapipe`` — when the mediapipe package is importable, drive the same
-    two models the reference ships (src/utils/mp_models/*).
+    two models the reference ships (third_party/mp_models/*); ``lmks3d`` is
+    computed by the in-repo geometry solver (the tasks API does not expose
+    the mesh vertex buffer the reference patches in).
+  * ``tflite`` — the in-repo landmark graph (``aniportrait_tpu.landmark``)
+    on tf.lite/XNNPACK interpreters.
+  * ``native`` — the same graph on the in-repo C++ TFLite interpreter
+    (``native/tflite_runner/``, built on demand); works with no mediapipe
+    and no tensorflow installed.
   * ``precomputed`` — serve landmarks from .npz/.npy sidecar files
     (the training pipeline's format, preprocess_dataset.py:78-109); also the
     deterministic test backend.
-  * (planned) ``native`` — the in-repo C++ TFLite runner (BlazeFace +
-    FaceLandmarker + Procrustes geometry solver).
+
+``auto`` resolves mediapipe -> tflite -> native.
 """
 
 from __future__ import annotations
@@ -50,19 +57,26 @@ class PrecomputedBackend:
 
 class MediaPipeBackend:
     """Wraps the mediapipe tasks FaceLandmarker (when available) with
-    facial_transformation_matrixes + blendshapes enabled.  lmks3d requires
-    the geometry mesh output the reference patches in; until the native
-    runner lands we approximate lmks3d by un-posing the metric landmarks
-    with the inverse transform (equivalent canonical-space vertices)."""
+    facial_transformation_matrixes + blendshapes enabled.  The public tasks
+    API does not expose the face-geometry mesh vertex buffer the reference
+    patches in (reference face_landmark.py:2989-2993), so ``lmks3d`` +
+    ``trans_mat`` are computed by the in-repo weighted-Procrustes geometry
+    solver from the screen landmarks — the same math MediaPipe's C++
+    FaceGeometryFromLandmarks graph runs internally."""
 
     def __init__(self, task_path: Optional[str] = None):
         import mediapipe as mp
         from mediapipe.tasks import python as mp_python
         from mediapipe.tasks.python import vision
 
-        task_path = task_path or os.path.join(
-            os.path.dirname(__file__), "mp_models", "face_landmarker_v2_with_blendshapes.task"
+        from aniportrait_tpu.landmark.geometry import (
+            GeometrySolver,
+            load_geometry_metadata,
         )
+        from aniportrait_tpu.landmark.pipeline import DEFAULT_TASK
+
+        task_path = task_path or os.path.abspath(DEFAULT_TASK)
+        self.solver = GeometrySolver(load_geometry_metadata(task_path))
         base_options = mp_python.BaseOptions(model_asset_path=task_path)
         options = vision.FaceLandmarkerOptions(
             base_options=base_options,
@@ -89,15 +103,13 @@ class MediaPipeBackend:
         bs = np.array(
             [b.score for b in res.face_blendshapes[0]], dtype=np.float32
         )
-        # canonical-space approximation (see class docstring)
+        # exact canonical-space mesh via the in-repo geometry solver (the
+        # tasks API does not surface the mesh buffer; see class docstring)
         h, w = image_bgr.shape[:2]
-        metric = lmks.copy()
-        metric[:, 0] = (metric[:, 0] * 2 - 1) * (w / h)
-        metric[:, 1] = -(metric[:, 1] * 2 - 1)
-        lmks3d = metric
+        geo = self.solver.solve(lmks, (w, h))
         return {
             "lmks": lmks,
-            "lmks3d": lmks3d,
+            "lmks3d": geo["mesh"],
             "trans_mat": trans_mat,
             "bs": bs,
             "faces": None,
@@ -129,10 +141,12 @@ class LMKExtractor:
 
                     backend = "tflite"
                 except ImportError:
-                    backend = "unavailable"
-        if backend == "tflite":
+                    # in-repo C++ interpreter: no mediapipe, no tensorflow
+                    backend = "native"
+        if backend in ("tflite", "native"):
             from aniportrait_tpu.landmark import FaceLandmarkerLite
 
+            kwargs.setdefault("engine", backend)
             self.backend = _CallableBackend(FaceLandmarkerLite(**kwargs))
         elif backend == "mediapipe":
             self.backend = MediaPipeBackend(**kwargs)

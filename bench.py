@@ -23,6 +23,12 @@ import numpy as np
 
 
 def main():
+    if "--quality" in sys.argv:
+        # quality gate mode: bench.py --quality OURS REF [quality_gate flags]
+        from scripts.quality_gate import main as quality_main
+
+        return quality_main(sys.argv[sys.argv.index("--quality") + 1 :])
+
     import jax
     import jax.numpy as jnp
 

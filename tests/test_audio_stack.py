@@ -82,3 +82,29 @@ def test_audio2vid_conditioning_front_end():
     vis = FaceMeshVisualizer(forehead_edge=False)
     pose_img = vis.draw_landmarks((W, H), projected[0], normed=False)
     assert (pose_img.sum(-1) > 0).sum() > 500
+
+
+def test_non_wav_decode_ffmpeg(tmp_path):
+    """librosa-parity: non-WAV containers decode through ffmpeg."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+    import pytest
+    from scipy.io import wavfile
+
+    from aniportrait_tpu.utils.audio_util import load_audio, prepare_audio_feature
+
+    if shutil.which("ffmpeg") is None:
+        pytest.skip("ffmpeg not installed")
+    sr = 16000
+    t = np.arange(sr) / sr
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav = str(tmp_path / "a.wav")
+    wavfile.write(wav, sr, (x * 32767).astype(np.int16))
+    ogg = str(tmp_path / "a.ogg")
+    subprocess.run(["ffmpeg", "-v", "error", "-y", "-i", wav, ogg], check=True)
+    a, b = load_audio(wav), load_audio(ogg)
+    n = min(len(a), len(b))
+    assert np.corrcoef(a[:n], b[:n])[0, 1] > 0.9
+    assert prepare_audio_feature(ogg)["seq_len"] == 30

