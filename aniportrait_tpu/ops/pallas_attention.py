@@ -51,7 +51,7 @@ def _mask_block(logits, ki, block_kv, skv, kv_split, drop):
 
 
 def _fwd_kernel(
-    scale, block_kv, skv, kv_split, n_kv,
+    scale, block_kv, skv, kv_split, n_kv, want_lse,
     q_ref, k_ref, v_ref, drop_ref,
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
@@ -97,8 +97,11 @@ def _fwd_kernel(
         # NEG_INF there; m + log(l) would be -inf and exp(0 - -inf) = inf)
         safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
-        lse = jnp.where(l == 0.0, 0.0, m_ref[:, :1] + jnp.log(safe))
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(lse_ref.dtype)
+        if want_lse:  # backward-pass residual only (skipped for inference)
+            lse = jnp.where(l == 0.0, 0.0, m_ref[:, :1] + jnp.log(safe))
+            lse_ref[0] = jnp.broadcast_to(
+                lse, lse_ref.shape[1:]
+            ).astype(lse_ref.dtype)
 
 
 def _dq_kernel(
@@ -220,13 +223,17 @@ def _plan(sq, skv, d, block_q, block_kv):
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
 def _flash(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+    # primal-only call (inference): skip the f32 LSE residual entirely —
+    # at 64x64 CFG shapes it is hundreds of MB of HBM writes per call
     out, _ = _flash_fwd_impl(
-        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
+        want_lse=False,
     )
     return out
 
 
-def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
+                    want_lse=True):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = 1.0 / math.sqrt(d)
@@ -239,7 +246,9 @@ def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
     rows = b * h
     drop = jnp.repeat(drop_rows.astype(jnp.int32), h)[:, None]  # (rows, 1)
 
-    kernel = functools.partial(_fwd_kernel, scale, bkv, skv, kv_split, n_kv)
+    kernel = functools.partial(
+        _fwd_kernel, scale, bkv, skv, kv_split, n_kv, want_lse
+    )
     out, lse = pl.pallas_call(
         kernel,
         grid=(rows, n_q, n_kv),
@@ -281,7 +290,8 @@ def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
 
 def _flash_fwd(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
     out, res = _flash_fwd_impl(
-        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
+        want_lse=True,
     )
     return out, (res, q.shape, k.shape[1])
 

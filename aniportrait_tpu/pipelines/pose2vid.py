@@ -330,10 +330,12 @@ class Pose2VideoPipeline:
         """All images are uint8 RGB numpy arrays (H, W, 3).
         Returns video (L, H, W, 3) float32 in [0, 1]."""
         from aniportrait_tpu.utils.image import _resize
-        from aniportrait_tpu.models.clip_vision import CLIP_IMAGE_SIZE
 
         ref = _resize(ref_image, width, height)[None]  # (1,H,W,3) uint8
-        clip_img = _resize(ref_image, CLIP_IMAGE_SIZE, CLIP_IMAGE_SIZE)[None]
+        # CLIP input size comes from the model (224 full-scale; smaller in
+        # the micro/test configs)
+        clip_size = self.m.clip.image_size
+        clip_img = _resize(ref_image, clip_size, clip_size)[None]
         poses = np.stack(
             [_resize(p, width, height) for p in pose_images], axis=0
         )[None]  # (1,L,H,W,3) uint8

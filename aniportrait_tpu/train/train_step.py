@@ -146,10 +146,15 @@ def make_train_step(
 
         ref_latents = vae_sample(vae_params, batch["pixel_values_ref_img"], keys[1])
 
-        # CFG dropout: zero the CLIP *image* through the encoder + drop ref
-        uncond = (
-            jax.random.uniform(keys[2], ()) < uncond_ratio
-        )  # per-step flag, like the reference
+        # CFG dropout: zero the CLIP *image* through the encoder + drop ref.
+        # DELIBERATE DEVIATION FROM per-sample CONVENTION: one Bernoulli per
+        # STEP, applied to every row of the batch — this reproduces the
+        # reference's quirk (train_stage_1.py:522-536 draws a single
+        # random.random() per step, so at batch>1 all samples drop together),
+        # and the same flag also gates the ReferenceNet bank drop below.
+        # Standard per-sample dropout would be
+        # jax.random.uniform(keys[2], (b,)) < uncond_ratio.
+        uncond = jax.random.uniform(keys[2], ()) < uncond_ratio
         clip_img = jnp.where(uncond, 0.0, 1.0) * batch["clip_ref_image"]
         embeds = clip.apply({"params": clip_params}, clip_img)
         ctx = embeds[:, None, :]  # (b, 1, 768)

@@ -27,7 +27,7 @@ def linear_midpoint(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
     return 0.5 * frame1 + 0.5 * frame2
 
 
-def _load_film(weights_path: str | None) -> Callable:
+def _load_film(weights_path: str | None, random_init: bool = False) -> Callable:
     """Build a jitted FiLM midpoint fn (dt=0.5) from converted weights.
 
     ``weights_path``: .npz of converted flax params (weights/convert.py:
@@ -60,6 +60,12 @@ def _load_film(weights_path: str | None) -> Callable:
             )
             if unused:
                 raise ValueError(f"unconverted FiLM keys: {unused[:10]}")
+    if params is None and random_init:
+        # benchmarking: the real architecture's wall-clock with random weights
+        dummy = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(0), dummy, dummy, jnp.full((1,), 0.5)
+        )["params"]
     if params is None:
         raise FileNotFoundError(
             "film backend needs a weights path (film_net npz or TorchScript .pt)"
@@ -80,14 +86,17 @@ def _load_film(weights_path: str | None) -> Callable:
 
 
 def init_frame_interpolation_model(
-    backend: str = "film", weights_path: str | None = None
+    backend: str = "film",
+    weights_path: str | None = None,
+    random_init: bool = False,
 ) -> Callable:
-    """backend: 'film' (real interpolator; needs weights) or 'linear'
-    (cross-fade, explicit opt-in)."""
+    """backend: 'film' (real interpolator; needs weights, or
+    ``random_init=True`` for benchmarking) or 'linear' (cross-fade,
+    explicit opt-in)."""
     if backend == "linear":
         return linear_midpoint
     if backend == "film":
-        return _load_film(weights_path)
+        return _load_film(weights_path, random_init=random_init)
     raise ValueError(f"unknown interpolation backend {backend!r}")
 
 

@@ -1,18 +1,28 @@
 #!/usr/bin/env python
-"""Benchmark: pose2vid denoising throughput on the attached TPU chip.
+"""Benchmarks on the attached TPU chip, covering BASELINE.json's 5 configs.
 
-Config (matches BASELINE.md config #2 scaled to the reference defaults):
-  512x512, 16-frame clip, 25 DDIM steps, CFG 3.5, bf16, random weights
-  (weights don't affect wall-clock; shapes/dtypes match the real model).
+Default (what the driver runs): pose2vid 512x512, 16-frame clip, 25 DDIM
+steps, CFG 3.5, bf16, random weights (weights don't affect wall-clock;
+shapes/dtypes match the real model).
 
-Prints ONE JSON line:
-  {"metric": "frames_per_sec_512px_25step", "value": ..., "unit": "frames/s",
-   "vs_baseline": ...}
+  python bench.py                        # driver metric (512px pose2vid)
+  python bench.py --config audio2mesh    # BASELINE config 1 (vs measured torch CPU)
+  python bench.py --config pose2vid256   # config 2 (256px, 16f, 10 steps)
+  python bench.py --config vid2vid24     # config 3 (512px, 24-frame chunk)
+  python bench.py --config audio2vid     # config 4 (audio->pose->512px video)
+  python bench.py --config audio2vid_acc # config 5 (-acc: diffuse 1/3, FiLM x2)
+  python bench.py --tiny                 # smoke
+  python bench.py --quality OURS REF ... # LPIPS/PSNR gate (scripts/quality_gate)
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the baseline
-denominator is a cost-model estimate of the PyTorch reference on A100 fp16
-for the same config: 25 steps x 2 (CFG) x 16 frames x ~0.7 TFLOP/frame UNet
-+ VAE decode, at ~40% MFU => ~16 s => ~1.0 frames/s.  vs_baseline = fps / 1.0.
+Each prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline denominators: the reference publishes no numbers (BASELINE.md).
+For the diffusion configs the baseline is a cost model of the PyTorch
+reference on A100 fp16 (~0.7 TFLOP UNet fwd/frame/step at ~40% MFU =>
+~1.0 frames/s at 512px/25step; scaled by latent area x steps for other
+shapes).  For audio2mesh the baseline is MEASURED: the same wav2vec2-base
+architecture run in torch fp32 on this host's CPU (the reference's config,
+BASELINE.json config 1).
 """
 
 import json
@@ -21,36 +31,29 @@ import time
 
 import numpy as np
 
+A100_FPS_512_25 = 1.0  # cost-modeled reference throughput at 512px/25step
 
-def main():
-    if "--quality" in sys.argv:
-        # quality gate mode: bench.py --quality OURS REF [quality_gate flags]
-        from scripts.quality_gate import main as quality_main
 
-        return quality_main(sys.argv[sys.argv.index("--quality") + 1 :])
+def _one_line(metric, fps, baseline, unit="frames/s"):
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(fps, 3),
+                "unit": unit,
+                "vs_baseline": round(fps / baseline, 3),
+            }
+        )
+    )
 
+
+def _bf16_modules(defs):
     import jax
     import jax.numpy as jnp
 
-    from aniportrait_tpu.utils.jax_setup import setup
+    from aniportrait_tpu.factory import init_random_params
 
-    setup()
-
-    from aniportrait_tpu.factory import build_model_defs, init_random_params
-    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
-
-    size = "full"
-    steps = 25
-    frames = 16
-    res = 512
-    metric = "frames_per_sec_512px_25step"
-    if "--tiny" in sys.argv:
-        size, steps, frames, res = "tiny", 2, 4, 64
-        metric = "frames_per_sec_tiny_smoke"
-
-    defs = build_model_defs(size=size, use_motion_module=True, dtype=jnp.bfloat16)
     modules = init_random_params(defs)
-    # bf16 params: halves HBM and feeds the MXU directly
     for attr in ("vae_params", "clip_params", "reference_params", "denoising_params"):
         setattr(
             modules,
@@ -60,49 +63,259 @@ def main():
     modules.pose_guider_variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), modules.pose_guider_variables
     )
+    return modules
 
-    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1)
+
+def _median_time(fn, n=3):
+    fn()  # warmup/compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
+                   metric=None, baseline=None, runs=3):
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    defs = build_model_defs(size=size, use_motion_module=True, dtype=jnp.bfloat16)
+    modules = _bf16_modules(defs)
+    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=window_batch)
 
     rs = np.random.RandomState(0)
     ref = rs.randint(0, 255, (res, res, 3), np.uint8)
     poses = [rs.randint(0, 255, (res, res, 3), np.uint8) for _ in range(frames)]
     kw = dict(
-        width=res,
-        height=res,
-        video_length=frames,
-        num_inference_steps=steps,
-        guidance_scale=3.5,
-        seed=0,
-        windowed=True,
+        width=res, height=res, video_length=frames, num_inference_steps=steps,
+        guidance_scale=3.5, seed=0, windowed=True, decode_chunk=4,
+    )
+
+    def run():
+        out = pipe(ref, poses, None, **kw)
+        out.sum()  # host sync
+
+    pipe(ref, poses, None, **kw)  # compile
+    pipe.timer.totals.clear()
+    pipe.timer.counts.clear()
+    dt = _median_time(run, runs)
+    fps = frames / dt
+    print(f"phase breakdown: {pipe.timer.report()}", file=sys.stderr)
+
+    if baseline is None:
+        # scale the 512/25 cost model by latent area and step count
+        baseline = A100_FPS_512_25 * (512 / res) ** 2 * (25 / steps)
+    _one_line(metric or f"frames_per_sec_{res}px_{steps}step", fps, baseline)
+
+
+def bench_audio2mesh():
+    """BASELINE config 1: wav2vec2-base + mesh head, 5 s WAV, fp32.
+
+    Ours runs on the TPU chip; the baseline denominator is the reference's
+    own config — torch fp32 CPU — measured in-process on the same host with
+    the same architecture (transformers Wav2Vec2Model + 2 linear heads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.audio.audio2mesh import Audio2MeshModel
+
+    sr, secs, fps_video = 16000, 5, 30
+    frames = secs * fps_video
+    rs = np.random.RandomState(0)
+    wav = rs.randn(1, sr * secs).astype(np.float32)
+
+    model = Audio2MeshModel()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(wav), frames)
+    fn = jax.jit(
+        lambda p, w: model.apply(p, w, frames), static_argnames=()
+    )
+
+    def run():
+        np.asarray(fn(params, jnp.asarray(wav)))
+
+    dt = _median_time(run, 5)
+    ours_fps = frames / dt
+    print(f"ours (TPU fp32): {dt*1e3:.1f} ms / {secs}s clip", file=sys.stderr)
+
+    # measured torch-CPU baseline (reference config)
+    baseline_fps = None
+    try:
+        import torch
+        from transformers import Wav2Vec2Config, Wav2Vec2Model
+
+        cfg = Wav2Vec2Config()  # base
+        tmodel = Wav2Vec2Model(cfg).eval()
+        head1 = torch.nn.Linear(768, 512)
+        head2 = torch.nn.Linear(512, 1404)
+        tw = torch.from_numpy(wav)
+        with torch.no_grad():
+            t0 = time.perf_counter()
+            for _ in range(3):
+                h = tmodel(tw).last_hidden_state
+                h = torch.nn.functional.interpolate(
+                    h.transpose(1, 2), size=frames, mode="linear",
+                    align_corners=True,
+                ).transpose(1, 2)
+                head2(head1(h))
+            t_dt = (time.perf_counter() - t0) / 3
+        baseline_fps = frames / t_dt
+        print(f"torch CPU baseline: {t_dt*1e3:.1f} ms / {secs}s clip", file=sys.stderr)
+    except Exception as e:  # pragma: no cover
+        print(f"torch baseline unavailable ({e}); using 1x", file=sys.stderr)
+        baseline_fps = ours_fps
+    _one_line("audio2mesh_frames_per_sec", ours_fps, baseline_fps)
+
+
+def _synth_pose_frames(n, res):
+    """Audio->mesh->pose-map path shared by the audio2vid benches: run the
+    real audio stack (wav2vec2+audio2mesh offsets, audio2pose AR head) on
+    synthetic audio, project and rasterize the pose maps."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.audio.audio2mesh import Audio2MeshModel
+    from aniportrait_tpu.audio.audio2pose import Audio2PoseModel
+    from aniportrait_tpu.landmark.geometry import GeometrySolver, load_geometry_metadata
+    from aniportrait_tpu.landmark.pipeline import DEFAULT_TASK
+    from aniportrait_tpu.utils.draw_util import FaceMeshVisualizer
+    from aniportrait_tpu.utils.pose_util import project_points, smooth_pose_seq
+
+    import os
+
+    sr = 16000
+    secs = n / 30
+    rs = np.random.RandomState(0)
+    wav = rs.randn(1, int(sr * secs)).astype(np.float32)
+
+    t_audio0 = time.perf_counter()
+    a2m = Audio2MeshModel()
+    p_m = jax.jit(a2m.init)(jax.random.PRNGKey(0), jnp.asarray(wav), n)
+    offsets = np.asarray(
+        jax.jit(lambda p, w: a2m.apply(p, w, n))(p_m, jnp.asarray(wav))
+    )[0].reshape(n, 468, 3)
+
+    a2p = Audio2PoseModel()
+    p_p = jax.jit(lambda k: a2p.init(k, jnp.asarray(wav), n, jnp.zeros((1,), jnp.int32)))(
+        jax.random.PRNGKey(1)
+    )
+    pose6 = np.asarray(
+        jax.jit(
+            lambda p, w: a2p.apply(p, w, n, jnp.zeros((1,), jnp.int32)),
+            static_argnames=(),
+        )(p_p, jnp.asarray(wav))
+    )[0]
+    pose6 = smooth_pose_seq(pose6, 7)
+    t_audio = time.perf_counter() - t_audio0
+
+    # neutral mesh from the canonical geometry metadata; offsets added as
+    # in the reference (scripts/audio2vid.py:162-165)
+    meta = load_geometry_metadata(os.path.abspath(DEFAULT_TASK))
+    neutral = GeometrySolver(meta).canonical
+    verts = neutral[None] + offsets  # (n, 468, 3)
+    trans_mat = np.eye(4)
+    trans_mat[2, 3] = -50.0
+    projected = project_points(verts, trans_mat, pose6, [res, res])
+    vis = FaceMeshVisualizer(forehead_edge=False)
+    pose_imgs = [
+        vis.draw_landmarks((res, res), pts, normed=False) for pts in projected
+    ]
+    return pose_imgs, t_audio
+
+
+def bench_audio2vid(acc=False, frames=48, res=512, steps=25):
+    """BASELINE configs 4/5: full audio->video.  -acc diffuses every 3rd
+    frame and FiLM-interpolates 2 between (reference pose2vid.py:152-179)."""
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+    from aniportrait_tpu.utils.frame_interpolation import (
+        batch_images_interpolation_tool,
+        init_frame_interpolation_model,
+    )
+
+    pose_imgs, t_audio = _synth_pose_frames(frames, res)
+    rs = np.random.RandomState(0)
+    ref = rs.randint(0, 255, (res, res, 3), np.uint8)
+
+    fi_step = 3 if acc else 1
+    diff_frames = len(pose_imgs[::fi_step])
+
+    defs = build_model_defs(size="full", use_motion_module=True, dtype=jnp.bfloat16)
+    modules = _bf16_modules(defs)
+    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1)
+    kw = dict(
+        width=res, height=res, video_length=diff_frames,
+        num_inference_steps=steps, guidance_scale=3.5, seed=0, windowed=True,
         decode_chunk=4,
     )
 
-    # warmup/compile
-    pipe(ref, poses, None, **kw)
+    film = None
+    if acc:
+        # random-weight FiLM net (real architecture; weights don't affect time)
+        film = init_frame_interpolation_model(weights_path=None, random_init=True)
 
-    pipe.timer.totals.clear()
-    pipe.timer.counts.clear()
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = pipe(ref, poses, None, **kw)
-        out.sum()  # force host sync
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    fps = frames / dt
-    print(f"phase breakdown (3 runs): {pipe.timer.report()}", file=sys.stderr)
+    def run():
+        video = np.asarray(pipe(ref, pose_imgs[::fi_step], None, **kw))
+        if acc:  # video: (L, H, W, 3) -> add the clip axis the tool expects
+            video = batch_images_interpolation_tool(
+                video[None], film, inter_frames=2
+            )[0]
+        return video
 
-    baseline_fps = 1.0  # cost-modeled A100 fp16 PyTorch reference (see docstring)
+    pipe(ref, pose_imgs[::fi_step], None, **kw)  # compile diffusion
+    if acc:
+        run()  # compile FiLM too
+    dt = _median_time(run, 3) + t_audio / 1.0  # audio stack measured once
+    out_frames = frames if not acc else (diff_frames - 1) * fi_step + 1
+    fps = out_frames / dt
     print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / baseline_fps, 3),
-            }
-        )
+        f"audio stack {t_audio:.1f}s; diffusion {diff_frames} frames; "
+        f"output {out_frames} frames",
+        file=sys.stderr,
     )
+    baseline = A100_FPS_512_25  # diffusion-dominated; per-output-frame
+    if acc:
+        baseline = A100_FPS_512_25 * fi_step  # reference -acc gets the same 3x
+    name = "audio2vid_acc_frames_per_sec" if acc else "audio2vid_frames_per_sec"
+    _one_line(name, fps, baseline)
+
+
+def main():
+    argv = sys.argv[1:]
+    if "--quality" in argv:
+        from scripts.quality_gate import main as quality_main
+
+        return quality_main(argv[argv.index("--quality") + 1 :])
+
+    from aniportrait_tpu.utils.jax_setup import setup
+
+    setup()
+
+    if "--tiny" in argv:
+        return bench_pose2vid(size="tiny", steps=2, frames=4, res=64,
+                              metric="frames_per_sec_tiny_smoke", baseline=1.0)
+    if "--config" in argv:
+        cfg = argv[argv.index("--config") + 1]
+        if cfg == "audio2mesh":
+            return bench_audio2mesh()
+        if cfg == "pose2vid256":
+            return bench_pose2vid(steps=10, frames=16, res=256)
+        if cfg == "vid2vid24":
+            return bench_pose2vid(steps=25, frames=24, res=512,
+                                  metric="vid2vid_frames_per_sec_512px_24f")
+        if cfg == "audio2vid":
+            return bench_audio2vid(acc=False)
+        if cfg == "audio2vid_acc":
+            return bench_audio2vid(acc=True)
+        raise SystemExit(f"unknown --config {cfg!r}")
+    # driver default
+    return bench_pose2vid(metric="frames_per_sec_512px_25step",
+                          baseline=A100_FPS_512_25)
 
 
 if __name__ == "__main__":

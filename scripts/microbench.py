@@ -1,0 +1,293 @@
+"""Microbenchmarks for the hot compute units on the attached TPU chip.
+
+Times each unit in isolation (jitted, donated, median of N) so kernel work
+iterates without paying the full-pipeline compile:
+
+  python -m scripts.microbench unet        # one denoising-UNet forward (CFG window)
+  python -m scripts.microbench attn        # the big ref-KV spatial attention
+  python -m scripts.microbench attn_sweep  # block_q/block_kv sweep for the flash kernel
+  python -m scripts.microbench temporal    # motion-module temporal attention
+  python -m scripts.microbench vae         # VAE decode of one 16-frame clip
+  python -m scripts.microbench all
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    """Force completion THROUGH the axon tunnel: block_until_ready alone
+    does not flush the remote queue — fetch a scalar reduction to host."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves = jax.tree.leaves(x)
+    return float(jnp.sum(leaves[0].astype(jnp.float32)))
+
+
+def _median(fn, n=5):
+    _sync(fn())  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_unet(frames=16, latent=64):
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+
+    fn, args = g._flagship(size="full", frames=frames, latent=latent)
+    jfn = jax.jit(fn)
+    dt = _median(lambda: jfn(*args))
+    # FLOP model: SD-1.5 UNet fwd ~0.35 TF per 64x64-latent image (convs)
+    # + ref-KV spatial attention + temporal attention
+    bf = args[1].shape[0] * frames
+    tf = 0.35 * bf
+    print(
+        f"unet fwd (b=2 CFG, f={frames}, {latent}x{latent} latents): "
+        f"{dt*1e3:.1f} ms  ~{tf/dt:.0f} TFLOP/s conv-only model "
+        f"(v5e peak 197 bf16)"
+    )
+    return dt
+
+
+def _attn_shapes(res=64, heads=8, d=40, frames=16):
+    rs = np.random.RandomState(0)
+    sq = res * res
+    b = 2 * frames  # CFG x frames rows
+    q = rs.randn(b, sq, heads, d).astype(np.float32)
+    k = rs.randn(b, 2 * sq, heads, d).astype(np.float32)
+    v = rs.randn(b, 2 * sq, heads, d).astype(np.float32)
+    drop = np.array([1] * frames + [0] * frames, np.int32)
+    return q, k, v, drop, sq
+
+
+def bench_attn(block_q=512, block_kv=1024, dtype="bfloat16", quiet=False):
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.pallas_attention import flash_attention
+
+    q, k, v, drop, sq = _attn_shapes()
+    dt_ = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    qj, kj, vj = (jnp.asarray(x, dt_) for x in (q, k, v))
+    dj = jnp.asarray(drop)
+
+    def run():
+        return flash_attention(
+            qj, kj, vj, drop_tail=dj, kv_split=sq,
+            block_q=block_q, block_kv=block_kv,
+        )
+
+    dt = _median(run)
+    b, _, h, d = q.shape
+    flops = 2 * 2 * b * h * sq * (2 * sq) * d
+    eff = flops / dt / 1e12
+    if not quiet:
+        print(
+            f"flash attn 4096q/8192kv d={d} h={h} b={b} bq={block_q} "
+            f"bkv={block_kv} {dtype}: {dt*1e3:.2f} ms  {eff:.1f} TFLOP/s useful"
+        )
+    return dt
+
+
+def bench_attn_sweep():
+    best = (1e9, None)
+    for bq in (256, 512, 1024):
+        for bkv in (512, 1024, 2048):
+            try:
+                dt = bench_attn(bq, bkv, quiet=False)
+            except Exception as e:
+                print(f"bq={bq} bkv={bkv}: FAIL {type(e).__name__}")
+                continue
+            if dt < best[0]:
+                best = (dt, (bq, bkv))
+    print(f"best: bq,bkv={best[1]} at {best[0]*1e3:.2f} ms")
+
+
+def bench_temporal(frames=16, res=64, c=320, heads=8):
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.attention import scaled_dot_product_attention
+
+    rs = np.random.RandomState(0)
+    rows = 2 * res * res  # CFG x spatial positions
+    d = c // heads
+    q = jnp.asarray(rs.randn(rows, frames, heads, d), jnp.bfloat16)
+
+    def run():
+        return scaled_dot_product_attention(q, q, q)
+
+    dt = _median(run)
+    print(f"temporal attn rows={rows} f={frames} d={d}: {dt*1e3:.2f} ms")
+    return dt
+
+
+def bench_pose(frames=16, res=512):
+    """Pose-guider feature extraction for one clip (runs once per clip,
+    hoisted out of the denoise loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+
+    defs = build_model_defs(size="full", dtype=jnp.bfloat16)
+    modules = init_random_params(defs)
+    pg_v = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), modules.pose_guider_variables
+    )
+    rs = np.random.RandomState(0)
+    poses = jnp.asarray(
+        rs.randint(0, 255, (1, frames, res, res, 3), np.uint8)
+    )
+
+    pg = jax.jit(
+        lambda v, p: modules.pose_guider.apply(
+            v, p.astype(jnp.bfloat16) / 127.5 - 1.0
+        )
+    )
+    dt = _median(lambda: pg(pg_v, poses))
+    print(f"pose features (f={frames}, {res}px): {dt*1e3:.1f} ms")
+    return dt
+
+
+def bench_vae(frames=16, res=512, chunk=4):
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+
+    defs = build_model_defs(size="full", dtype=jnp.bfloat16)
+    modules = init_random_params(defs)
+    vae_p = jax.tree.map(lambda x: x.astype(jnp.bfloat16), modules.vae_params)
+    rs = np.random.RandomState(0)
+    lat = jnp.asarray(rs.randn(chunk, res // 8, res // 8, 4), jnp.bfloat16)
+
+    dec = jax.jit(
+        lambda p, z: modules.vae.apply({"params": p}, z, method=modules.vae.decode)
+    )
+    dt = _median(lambda: dec(vae_p, lat))
+    per_clip = dt * frames / chunk
+    print(f"vae decode chunk={chunk} {res}px: {dt*1e3:.1f} ms  "
+          f"(~{per_clip:.2f} s / {frames}-frame clip)")
+    return dt
+
+
+def bench_stage2_step(frames=16, res=512, batch=1):
+    """Full-size stage-2 training step (motion-module training, bf16 compute
+    + remat per reference stage2.yaml:11) on the real chip — the HBM
+    acceptance test for gradient checkpointing (VERDICT r1 item 5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.train.train_step import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    defs = build_model_defs(
+        size="full", use_motion_module=True, dtype=jnp.bfloat16,
+        gradient_checkpointing=True,
+    )
+    modules = init_random_params(defs)
+    params = {
+        "reference": modules.reference_params,
+        "denoising": modules.denoising_params,
+        "pose_guider": modules.pose_guider_variables["params"],
+    }
+    tx = make_optimizer(params, stage=2)
+    step = make_train_step(defs, tx, defs["scheduler"])
+    state = TrainState(
+        params, modules.pose_guider_variables["batch_stats"],
+        tx.init(params), jnp.zeros((), jnp.int32),
+    )
+    frozen = (modules.vae_params, modules.clip_params)
+    rs = np.random.RandomState(0)
+    img = defs["clip"].image_size if hasattr(defs["clip"], "image_size") else 224
+    batch_data = {
+        "pixel_values": rs.randn(batch, frames, res, res, 3).astype(np.float32),
+        "pixel_values_pose": rs.randn(batch, frames, res, res, 3).astype(np.float32),
+        "pixel_values_ref_img": rs.randn(batch, res, res, 3).astype(np.float32),
+        "clip_ref_image": rs.randn(batch, img, img, 3).astype(np.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        new_state, metrics = step(state, frozen, batch_data, rng)
+        return metrics["loss"]
+
+    dt = _median(run, 3)
+    print(
+        f"stage-2 step (b={batch}, f={frames}, {res}px, bf16+remat): "
+        f"{dt:.2f} s/step"
+    )
+    return dt
+
+
+def bench_tunnel():
+    """Host<->device transfer + dispatch round-trip through the axon tunnel
+    (the chip is remote; HTTP tunnel throughput varies run to run)."""
+    import jax
+    import jax.numpy as jnp
+
+    # dispatch round-trip: tiny op + scalar fetch
+    x = jnp.zeros((8, 128), jnp.float32)
+    rt = _median(lambda: x + 1.0, 5)
+    print(f"dispatch+scalar-fetch round trip: {rt*1e3:.1f} ms")
+
+    # upload: 12.6 MB uint8 (one 16-frame 512px pose video)
+    buf = np.zeros((16, 512, 512, 3), np.uint8)
+
+    def up():
+        return jnp.asarray(buf)
+
+    dt = _median(up, 3)
+    print(f"upload 12.6 MB uint8: {dt*1e3:.1f} ms ({buf.nbytes/dt/1e6:.0f} MB/s)")
+
+    # download: 12.6 MB
+    dev = jnp.asarray(buf)
+
+    def down():
+        return np.asarray(dev)
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        down()
+    dd = (time.perf_counter() - t0) / 3
+    print(f"download 12.6 MB uint8: {dd*1e3:.1f} ms ({buf.nbytes/dd/1e6:.0f} MB/s)")
+
+
+def main():
+    from aniportrait_tpu.utils.jax_setup import setup
+
+    setup()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which == "stage2":
+        return bench_stage2_step()
+    if which in ("tunnel", "all"):
+        bench_tunnel()
+    if which in ("unet", "all"):
+        bench_unet()
+    if which in ("attn", "all"):
+        bench_attn()
+    if which == "attn_sweep":
+        bench_attn_sweep()
+    if which in ("temporal", "all"):
+        bench_temporal()
+    if which in ("pose", "all"):
+        bench_pose()
+    if which in ("vae", "all"):
+        bench_vae()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,15 @@ def test_window_sharded_pipeline_matches_single_device():
     np.testing.assert_allclose(v1, v2, atol=1.5 / 255)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_inference():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip_inference(8)

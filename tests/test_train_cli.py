@@ -40,6 +40,7 @@ def _make_dataset(root):
     return mpath
 
 
+@pytest.mark.slow
 def test_stage1_smoke(tmp_path):
     mpath = _make_dataset(str(tmp_path))
     cfg = f"""
@@ -95,6 +96,7 @@ output_dir: '{tmp_path}/out'
     assert (tmp_path / "out" / "smoke" / "final_params.npz").exists()
 
 
+@pytest.mark.slow
 def test_stage2_smoke(tmp_path):
     mpath = _make_dataset(str(tmp_path))
     cfg = f"""

@@ -164,11 +164,12 @@ def main():
 
     save_dir = Path(cfg.output_dir) / cfg.exp_name
     save_dir.mkdir(parents=True, exist_ok=True)
-    log_path = save_dir / "train_log.jsonl"
+    from aniportrait_tpu.train.trackers import Tracker
+
+    tracker = Tracker(str(save_dir), str(cfg.exp_name))
 
     max_steps = args.max_steps or int(cfg.solver.max_train_steps)
     rng = jax.random.PRNGKey(int(cfg.seed))
-    t0 = time.time()
     from aniportrait_tpu.train.prefetch import prefetch
 
     batches = prefetch(dataset.batches(int(cfg.train_bs)), depth=2)
@@ -179,14 +180,7 @@ def main():
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, frozen, shard_batch(batch, mesh), sub)
             if step % 10 == 0:
-                rec = {
-                    "step": step,
-                    "loss": float(metrics["loss"]),
-                    "elapsed_s": round(time.time() - t0, 1),
-                }
-                print(rec)
-                with open(log_path, "a") as f:
-                    f.write(json.dumps(rec) + "\n")
+                print(tracker.log(step, {"loss": float(metrics["loss"])}))
             if (step + 1) % int(cfg.checkpointing_steps) == 0:
                 from aniportrait_tpu.train.checkpoint import save_checkpoint
 
