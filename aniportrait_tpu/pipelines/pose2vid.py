@@ -144,6 +144,25 @@ class Pose2VideoPipeline:
         )
         return ctx_cfg, ref_latents, banks
 
+    def stage_inputs(self, ref_image, pose_images, width, height, device=True):
+        """Host-side prep (+ optional device upload) of the pipeline inputs:
+        returns (ref (1,H,W,3) u8, clip_img (1,s,s,3) u8, poses (1,L,H,W,3)
+        u8).  With ``device=True`` the arrays are placed on device so a
+        subsequent ``__call__((staged), None, ...)`` spends no time in
+        host->device transfer — through a remote-chip tunnel the upload can
+        otherwise dominate the clip time."""
+        from aniportrait_tpu.utils.image import _resize
+
+        ref = _resize(ref_image, width, height)[None]
+        clip_size = self.m.clip.image_size
+        clip_img = _resize(ref_image, clip_size, clip_size)[None]
+        poses = np.stack(
+            [_resize(p, width, height) for p in pose_images], axis=0
+        )[None]
+        if device:
+            ref, clip_img, poses = jax.device_put((ref, clip_img, poses))
+        return ref, clip_img, poses
+
     def _pose_features(self, pg_variables, pose_video_u8):
         """pose_video_u8: (1, L, H, W, 3) uint8 -> list of 5 features.
         Normalisation happens on device (uint8 host->device transfer is 4x
@@ -326,19 +345,19 @@ class Pose2VideoPipeline:
         decode_chunk: int = 8,
         interpolation_factor: int = 1,
         interp_method: str = "linear",
+        return_device: bool = False,
     ) -> np.ndarray:
-        """All images are uint8 RGB numpy arrays (H, W, 3).
+        """All images are uint8 RGB numpy arrays (H, W, 3) — or the staged
+        device tuple from :meth:`stage_inputs` passed as ``ref_image`` with
+        ``pose_images=None`` (skips host-side prep + upload; use when inputs
+        are reused or pre-staged asynchronously).
         Returns video (L, H, W, 3) float32 in [0, 1]."""
-        from aniportrait_tpu.utils.image import _resize
-
-        ref = _resize(ref_image, width, height)[None]  # (1,H,W,3) uint8
-        # CLIP input size comes from the model (224 full-scale; smaller in
-        # the micro/test configs)
-        clip_size = self.m.clip.image_size
-        clip_img = _resize(ref_image, clip_size, clip_size)[None]
-        poses = np.stack(
-            [_resize(p, width, height) for p in pose_images], axis=0
-        )[None]  # (1,L,H,W,3) uint8
+        if pose_images is None:
+            ref, clip_img, poses = ref_image  # staged device arrays
+        else:
+            ref, clip_img, poses = self.stage_inputs(
+                ref_image, pose_images, width, height, device=False
+            )
 
         m = self.m
         with self.timer.phase("encode_reference"):
@@ -380,6 +399,8 @@ class Pose2VideoPipeline:
 
         with self.timer.phase("vae_decode"):
             video = jax.block_until_ready(self._decode(latents, decode_chunk))
+        if return_device:
+            return video  # (L, H, W, 3) uint8 ON DEVICE (caller fetches)
         return np.asarray(video).astype(np.float32) / 255.0
 
 

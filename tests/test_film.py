@@ -81,3 +81,28 @@ def test_film_asymmetric_time():
             out = model.apply({"params": params}, jnp.asarray(x0),
                               jnp.asarray(x1), dt)
         np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4, rtol=1e-3)
+
+
+def test_batched_subdivision_matches_sequential():
+    """The tunnel-friendly batched interpolation path must insert the same
+    frames in the same order as the reference's sequential subdivision."""
+    import numpy as np
+
+    from aniportrait_tpu.utils.frame_interpolation import (
+        batch_images_interpolation_tool,
+        linear_midpoint,
+    )
+
+    rs = np.random.RandomState(0)
+    video = rs.rand(1, 5, 8, 8, 3).astype(np.float32)
+
+    def batched(l, r):
+        return 0.5 * l + 0.5 * r
+
+    batched.batched = True
+
+    for k in (1, 2, 3):
+        seq = batch_images_interpolation_tool(video, linear_midpoint, k)
+        bat = batch_images_interpolation_tool(video, batched, k)
+        assert seq.shape == bat.shape == (1, (5 - 1) * (k + 1) + 1, 8, 8, 3)
+        np.testing.assert_allclose(seq, bat, atol=1e-7)

@@ -77,3 +77,18 @@ def test_latent_interpolation():
     ref = (((1.0 - t) * omega).sin() * v0 + (t * omega).sin() * v1) / omega.sin()
     out = slerp(jnp.asarray(v0.numpy()), jnp.asarray(v1.numpy()), t)
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5)
+
+
+def test_staged_inputs_match_host_inputs(pipeline):
+    """stage_inputs + return_device path produces the same video as the
+    plain host-array path (bench uses it to exclude tunnel transfers)."""
+    rs = np.random.RandomState(7)
+    ref = rs.randint(0, 255, (64, 64, 3), np.uint8)
+    poses = [rs.randint(0, 255, (64, 64, 3), np.uint8) for _ in range(4)]
+    kw = dict(width=64, height=64, video_length=4, num_inference_steps=1,
+              guidance_scale=3.5, seed=2, decode_chunk=2)
+    v1 = pipeline(ref, poses, None, **kw)
+    staged = pipeline.stage_inputs(ref, poses, 64, 64, device=True)
+    v2 = pipeline(staged, None, None, return_device=True, **kw)
+    v2 = np.asarray(v2).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(v1, v2)
