@@ -16,11 +16,88 @@ import jax.numpy as jnp
 
 
 FLASH_MIN_LOGITS = 1 << 21  # sq * skv above which logits must not hit HBM
+SMALL_SEQ_MAX = 32  # seq length at/below which the packed small-seq path wins
+SMALL_SEQ_MIN_ROWS = 1024  # batch*heads needed to amortise the packing
 
 
 def _impl_override() -> str:
     # benchmarking/debug knob: force 'xla' or 'naive' regardless of size
     return os.environ.get("ANIPORTRAIT_ATTN_IMPL", "auto")
+
+
+def small_seq_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, impl: str = "auto"
+) -> jnp.ndarray:
+    """Self-attention for MANY short sequences (the motion module's temporal
+    attention: ~65k independent rows of seq<=16, head_dim 40).
+
+    A batched matmul with M=N=16, K=40 runs at ~0.01% of MXU peak (every
+    tiny dot pads to the 128-lane tile).  Instead, pack G = 128//S sequences
+    into one 128-row tile, compute the full (128, 128) cross-product logits
+    in ONE well-shaped matmul, add a static block-diagonal mask (off-block
+    = -1e9, so softmax over the packed axis equals the per-sequence softmax
+    exactly), and apply the dense (128, 128) @ (128, D) PV matmul.  ~2x
+    FLOP overhead instead of ~100x tile waste.
+
+    On TPU the per-tile compute runs as a Pallas kernel (one grid step per
+    tile, logits in VMEM); elsewhere the same packing goes through XLA
+    batched matmuls.
+
+    q/k/v: (B, S, H, D) with q==k==v sequence length.  Returns (B, S, H, D).
+    """
+    b, s, h, d = q.shape
+    scale = jnp.asarray(d ** -0.5, q.dtype)
+
+    def fold(x):  # (B, S, H, D) -> (B*H, S, D)
+        return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+    qf, kf, vf = fold(q) * scale, fold(k), fold(v)
+    rows = b * h
+    g = max(1, 128 // s)  # sequences per 128-row tile
+    pad = (-rows) % g
+    if pad:
+        qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
+        kf = jnp.pad(kf, ((0, pad), (0, 0), (0, 0)))
+        vf = jnp.pad(vf, ((0, pad), (0, 0), (0, 0)))
+    n = qf.shape[0] // g
+    qp = qf.reshape(n, g * s, d)
+    kp = kf.reshape(n, g * s, d)
+    vp = vf.reshape(n, g * s, d)
+
+    use_pallas = impl == "pallas" or (impl == "auto" and _on_accelerator())
+    if use_pallas:
+        from aniportrait_tpu.ops.pallas_attention import ssa_packed
+
+        t = ((g * s + 127) // 128) * 128  # tile rows (128 unless s > 128)
+        dp = max(128, ((d + 127) // 128) * 128)
+
+        def tile_pad(x):
+            return jnp.pad(
+                x, ((0, 0), (0, t - g * s), (0, dp - d))
+            )
+
+        out = ssa_packed(
+            tile_pad(qp), tile_pad(kp), tile_pad(vp), s, g * s,
+            not _on_accelerator(),
+        )[:, : g * s, :d]
+    else:
+        # static block-diagonal mask: row i attends col j iff same sequence
+        blk = jnp.arange(g * s) // s
+        mask = jnp.where(blk[:, None] == blk[None, :], 0.0, -1e9).astype(
+            jnp.float32
+        )
+        logits = jax.lax.dot_general(
+            qp, kp, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (n, g*s, g*s)
+        probs = jax.nn.softmax(logits + mask, axis=-1).astype(v.dtype)
+        out = jax.lax.dot_general(
+            probs, vp, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)  # (n, g*s, d)
+
+    out = out.reshape(n * g, s, d)[:rows].astype(q.dtype)
+    return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
 def _on_accelerator() -> bool:
@@ -52,6 +129,16 @@ def scaled_dot_product_attention(
     # (the VAE's 512-dim single-head attention) stay on XLA
     if impl == "auto":
         impl = _impl_override()
+    # many-tiny-sequences self-attention (temporal/motion): packed path
+    if (
+        impl == "auto"
+        and bias is None
+        and kv_split is None
+        and q.shape[1] == k.shape[1] <= SMALL_SEQ_MAX
+        and q.shape[0] * q.shape[2] >= SMALL_SEQ_MIN_ROWS
+        and q.shape[1] >= 2
+    ):
+        return small_seq_attention(q, k, v)
     big = q.shape[1] * k.shape[1] >= FLASH_MIN_LOGITS and q.shape[-1] <= 256
     if impl == "auto" and big and _on_accelerator():
         from aniportrait_tpu.ops.pallas_attention import flash_attention

@@ -450,3 +450,107 @@ def ref_flash_attention(
         drop_tail=drop_bank, kv_split=k_self.shape[1],
         block_q=block_q, interpret=interpret,
     )
+
+
+# ---------------------------------------------------------- small-seq packed
+def _small_seq_kernel(s, n_valid_rows, q_ref, k_ref, v_ref, o_ref):
+    """One 128-row tile of packed sequences: block-diagonal attention.
+
+    q is pre-scaled.  Rows belong to sequences of length ``s`` packed along
+    the tile; rows >= n_valid_rows are padding (masked to a uniform
+    distribution over their own dead block — discarded by the caller)."""
+    q = q_ref[0]  # (T, dp)
+    k = k_ref[0]
+    v = v_ref[0]
+    t = q.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (T, T)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    same_seq = (rows // s) == (cols // s)
+    valid = jnp.logical_and(same_seq, cols < n_valid_rows)
+    # padding rows keep their own (dead) block unmasked -> uniform softmax,
+    # finite values, no NaN; caller slices them away
+    valid = jnp.logical_or(valid, jnp.logical_and(same_seq, rows >= n_valid_rows))
+    logits = jnp.where(valid, logits, -1e9)
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+    o_ref[0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq", "n_valid_rows", "interpret"))
+def small_seq_attention_pallas(qp, kp, vp, seq: int, n_valid_rows: int = None,
+                               interpret: bool = False):
+    """Packed tiles (n, T, dp) of sequences of length ``seq`` (pre-scaled q).
+    Returns (n, T, dp).  T and dp must be tile-aligned (caller packs)."""
+    n, t, dp = qp.shape
+    nv = t if n_valid_rows is None else n_valid_rows
+    return pl.pallas_call(
+        functools.partial(_small_seq_kernel, seq, nv),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, t, dp), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+
+
+def _ssa_xla_core(seq, nv, qp, kp, vp):
+    """XLA reference of the packed-tile kernel math (same masks, same
+    shapes) — used for the custom-VJP backward and CPU tests."""
+    t = qp.shape[1]
+    r = jnp.arange(t)
+    same = (r[:, None] // seq) == (r[None, :] // seq)
+    valid = jnp.logical_and(
+        same, jnp.logical_or((r < nv)[None, :], (r >= nv)[:, None])
+    )
+    logits = jax.lax.dot_general(
+        qp, kp, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.where(valid[None], logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vp.dtype)
+    return jax.lax.dot_general(
+        probs, vp, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(qp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ssa_packed(qp, kp, vp, seq, n_valid_rows, interpret):
+    """Differentiable packed small-seq attention: Pallas forward, backward
+    via the XLA core's VJP (recompute; only paid when training)."""
+    return small_seq_attention_pallas(
+        qp, kp, vp, seq=seq, n_valid_rows=n_valid_rows, interpret=interpret
+    )
+
+
+def _ssa_fwd(qp, kp, vp, seq, n_valid_rows, interpret):
+    out = ssa_packed(qp, kp, vp, seq, n_valid_rows, interpret)
+    return out, (qp, kp, vp)
+
+
+def _ssa_bwd(seq, n_valid_rows, interpret, res, g):
+    qp, kp, vp = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _ssa_xla_core(seq, n_valid_rows, a, b, c), qp, kp, vp
+    )
+    return vjp(g)
+
+
+ssa_packed.defvjp(_ssa_fwd, _ssa_bwd)

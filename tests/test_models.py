@@ -168,3 +168,26 @@ def test_drop_mode_static_matches_traced(denoise_setup, banks):
         )[0]
     )(params)
     np.testing.assert_allclose(np.asarray(traced), np.asarray(static), atol=2e-5)
+
+
+@pytest.mark.parametrize("b,s,h,d", [(130, 16, 8, 40), (16, 24, 8, 80), (64, 2, 4, 8)])
+def test_small_seq_attention_matches_naive(b, s, h, d):
+    """Packed block-diagonal small-seq attention (motion-module temporal
+    path) must equal plain per-sequence softmax attention, including at
+    row counts that need tile padding and seq lengths not dividing 128."""
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.attention import (
+        scaled_dot_product_attention,
+        small_seq_attention,
+    )
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+
+    ref = scaled_dot_product_attention(q, k, v, impl="naive")
+    got = small_seq_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)

@@ -103,3 +103,38 @@ def test_drop_mask_rows_ignore_bank():
         q, ks, vs, kb * 100, vb * 100, drop, rows_per_batch=F, block_q=8, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("b,s,h,d", [(130, 16, 8, 40), (16, 24, 8, 80)])
+def test_small_seq_pallas_matches_xla(b, s, h, d):
+    """Pallas packed small-seq kernel (interpret mode) == XLA packed path,
+    and its custom-VJP gradients == autodiff through the XLA math."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.attention import small_seq_attention
+
+    rs = np.random.RandomState(1)
+    q = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, s, h, d).astype(np.float32))
+
+    ref = small_seq_attention(q, k, v, impl="xla")
+    got = small_seq_attention(q, k, v, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+    def loss_p(q, k, v):
+        return jnp.sum(small_seq_attention(q, k, v, impl="pallas") ** 2)
+
+    def loss_x(q, k, v):
+        return jnp.sum(small_seq_attention(q, k, v, impl="xla") ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4,
+                                   rtol=1e-3)
