@@ -219,17 +219,120 @@ def _plan(sq, skv, d, block_q, block_kv):
     return dp, bq, bkv, sq_p, skv_p
 
 
+def _fwd_kernel_nopad(
+    scale, block_kv, skv, kv_split, n_kv, n_heads,
+    q_ref, k_ref, v_ref, drop_ref,
+    o_ref,
+    acc_ref, m_ref, l_ref,
+):
+    """Forward kernel over head-folded but UNPADDED (B*H, S, D) blocks —
+    no 40->128 lane padding in HBM (the trace showed pad+copy around the
+    padded kernel costing more than the convolutions; the fold transpose
+    itself is cheap).  Mosaic pads the D-lane tiles in VMEM transparently.
+    Constraint honored: a block's last dim equals the array's (D), and the
+    second-to-last (bq/bkv) is 8-divisible."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bkv, d)
+    v = v_ref[0]
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bkv) f32
+    logits = _mask_block(
+        logits, ki, block_kv, skv, kv_split, drop_ref[pl.program_id(0), 0]
+    )
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(logits, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(logits - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe).astype(o_ref.dtype)
+
+
+def _flash_nopad(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
+    """Inference forward: head-folded, lane-unpadded blocks."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+
+    def fold(x, s, s_p):  # (B, S, H, D) -> (B*H, S_p, D), no lane pad
+        return _pad_to(x.transpose(0, 2, 1, 3).reshape(b * h, s, d), s_p, 1)
+
+    qp = fold(q, sq, sq_p)
+    kp = fold(k, skv, skv_p)
+    vp = fold(v, skv, skv_p)
+    rows = b * h
+    drop = jnp.repeat(drop_rows.astype(jnp.int32), h)[:, None]  # (rows, 1)
+
+    kernel = functools.partial(
+        _fwd_kernel_nopad, scale, bkv, skv, kv_split, n_kv, h
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rows, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, d), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 1), lambda r, qi, ki: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda r, qi, ki: (r, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, sq_p, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, drop)
+    return out.reshape(b, h, sq_p, d)[:, :, :sq].transpose(0, 2, 1, 3)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
 def _flash(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
-    # primal-only call (inference): skip the f32 LSE residual entirely —
-    # at 64x64 CFG shapes it is hundreds of MB of HBM writes per call
-    out, _ = _flash_fwd_impl(
-        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
-        want_lse=False,
+    # primal-only call (inference): native-layout kernel, no LSE residual,
+    # no head-fold/pad HBM traffic
+    return _flash_nopad(
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
     )
-    return out
 
 
 def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
@@ -454,19 +557,22 @@ def ref_flash_attention(
 
 # ---------------------------------------------------------- small-seq packed
 def _small_seq_kernel(s, n_valid_rows, q_ref, k_ref, v_ref, o_ref):
-    """One 128-row tile of packed sequences: block-diagonal attention.
+    """``nb`` 128-row tiles of packed sequences: block-diagonal attention.
 
     q is pre-scaled.  Rows belong to sequences of length ``s`` packed along
-    the tile; rows >= n_valid_rows are padding (masked to a uniform
-    distribution over their own dead block — discarded by the caller)."""
-    q = q_ref[0]  # (T, dp)
-    k = k_ref[0]
-    v = v_ref[0]
-    t = q.shape[0]
+    each tile; rows >= n_valid_rows (within a tile) are padding (masked to
+    a uniform distribution over their own dead block — discarded by the
+    caller).  Multiple tiles per grid step amortise the per-step DMA issue
+    cost (one tile/step was DMA-bound: ~4 descriptors x ~0.5 us x 8192)."""
+    q = q_ref[:]  # (nb, T, dp)
+    k = k_ref[:]
+    v = v_ref[:]
+    nb, t, _ = q.shape
 
     logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (T, T)
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (nb, T, T)
     rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     same_seq = (rows // s) == (cols // s)
@@ -474,13 +580,13 @@ def _small_seq_kernel(s, n_valid_rows, q_ref, k_ref, v_ref, o_ref):
     # padding rows keep their own (dead) block unmasked -> uniform softmax,
     # finite values, no NaN; caller slices them away
     valid = jnp.logical_or(valid, jnp.logical_and(same_seq, rows >= n_valid_rows))
-    logits = jnp.where(valid, logits, -1e9)
+    logits = jnp.where(valid[None], logits, -1e9)
 
-    m = jnp.max(logits, axis=1, keepdims=True)
+    m = jnp.max(logits, axis=2, keepdims=True)
     p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=1, keepdims=True)
-    o_ref[0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    p = p / jnp.sum(p, axis=2, keepdims=True)
+    o_ref[:] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -492,22 +598,30 @@ def small_seq_attention_pallas(qp, kp, vp, seq: int, n_valid_rows: int = None,
     Returns (n, T, dp).  T and dp must be tile-aligned (caller packs)."""
     n, t, dp = qp.shape
     nv = t if n_valid_rows is None else n_valid_rows
-    return pl.pallas_call(
+    nb = 8
+    pad_n = (-n) % nb
+    if pad_n:
+        qp = jnp.pad(qp, ((0, pad_n), (0, 0), (0, 0)))
+        kp = jnp.pad(kp, ((0, pad_n), (0, 0), (0, 0)))
+        vp = jnp.pad(vp, ((0, pad_n), (0, 0), (0, 0)))
+    n_p = qp.shape[0]
+    out = pl.pallas_call(
         functools.partial(_small_seq_kernel, seq, nv),
-        grid=(n,),
+        grid=(n_p // nb,),
         in_specs=[
-            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, dp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, dp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((nb, t, dp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, t, dp), qp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_p, t, dp), qp.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
         ),
         interpret=interpret,
     )(qp, kp, vp)
+    return out[:n]
 
 
 def _ssa_xla_core(seq, nv, qp, kp, vp):

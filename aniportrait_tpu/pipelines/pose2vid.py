@@ -199,8 +199,32 @@ class Pose2VideoPipeline:
         windows_b = windows.reshape(-1, wb, win_len)
         valid_b = win_valid.reshape(-1, wb)
 
-        def unet_on_windows(den_params, latents, t, ctx_cfg, banks, pose_fea, win, valid):
-            """win: (wb, win_len) frame indices; returns window preds."""
+        def tile_cfg(ctx_cfg, banks, n_rows):
+            """Tile context/banks per window-batch row — constant across
+            steps and windows, so hoisted OUT of the scan (previously this
+            re-materialised ~0.4 GB of bank copies every denoise step)."""
+            half = n_rows // 2 if do_cfg else n_rows
+            ctx = jnp.concatenate(
+                [
+                    jnp.repeat(ctx_cfg[:1], half, axis=0),
+                    jnp.repeat(ctx_cfg[1:], half, axis=0),
+                ],
+                axis=0,
+            ) if do_cfg else jnp.repeat(ctx_cfg[1:], n_rows, axis=0)
+            banks_t = jax.tree.map(
+                lambda v: jnp.concatenate(
+                    [jnp.repeat(v[:1], half, axis=0), jnp.repeat(v[1:], half, axis=0)],
+                    axis=0,
+                )
+                if do_cfg
+                else jnp.repeat(v[1:], n_rows, axis=0),
+                banks,
+            )
+            return ctx, banks_t
+
+        def unet_on_windows(den_params, latents, t, ctx, banks_t, pose_fea, win, valid):
+            """win: (wb, win_len) frame indices; returns window preds.
+            ctx/banks_t are already tiled to the window-batch rows."""
             # gather latents (1, L, h, w, 4) -> (wb, win_len, h, w, 4)
             lat = latents[0][win]  # (wb, win_len, h, w, 4)
             lat = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
@@ -209,24 +233,6 @@ class Pose2VideoPipeline:
                 for pf in pose_fea
             ]
             b = lat.shape[0]
-            half = b // 2 if do_cfg else b
-            # tile banks/context per window-batch row
-            ctx = jnp.concatenate(
-                [
-                    jnp.repeat(ctx_cfg[:1], half, axis=0),
-                    jnp.repeat(ctx_cfg[1:], half, axis=0),
-                ],
-                axis=0,
-            ) if do_cfg else jnp.repeat(ctx_cfg[1:], b, axis=0)
-            banks_t = jax.tree.map(
-                lambda v: jnp.concatenate(
-                    [jnp.repeat(v[:1], half, axis=0), jnp.repeat(v[1:], half, axis=0)],
-                    axis=0,
-                )
-                if do_cfg
-                else jnp.repeat(v[1:], b, axis=0),
-                banks,
-            )
             # static CFG structure: uncond rows are the first half —
             # dispatched as separate self-only / concat attention calls
             # instead of a traced mask (saves the dual-computation)
@@ -254,13 +260,16 @@ class Pose2VideoPipeline:
             return pred  # (b, win_len, h, w, 4)
 
         def sample_impl(den_params, latents, ctx_cfg, banks, pose_fea):
+            n_rows = (2 if do_cfg else 1) * wb
+            ctx_t, banks_t = tile_cfg(ctx_cfg, banks, n_rows)
+
             def step(carry, t):
-                return _one_step(den_params, carry, t, ctx_cfg, banks, pose_fea)
+                return _one_step(den_params, carry, t, ctx_t, banks_t, pose_fea)
 
             latents, _ = jax.lax.scan(step, latents, timesteps)
             return latents
 
-        def _one_step(den_params, latents, t, ctx_cfg, banks, pose_fea):
+        def _one_step(den_params, latents, t, ctx_t, banks_t, pose_fea):
             acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
             noise_pred0 = jnp.zeros(acc_shape, jnp.float32)
             counter0 = jnp.zeros((1, video_length, 1, 1, 1), jnp.float32)
@@ -269,7 +278,7 @@ class Pose2VideoPipeline:
                 noise_pred, counter = accs
                 win, valid = win_and_valid
                 pred = unet_on_windows(
-                    den_params, latents, t, ctx_cfg, banks, pose_fea, win, valid
+                    den_params, latents, t, ctx_t, banks_t, pose_fea, win, valid
                 ).astype(jnp.float32)
                 vmask = valid.astype(jnp.float32)
                 if do_cfg:

@@ -58,6 +58,48 @@ def bench_unet(frames=16, latent=64):
     return dt
 
 
+def bench_unet_ablate(frames=16, latent=64):
+    """UNet forward with pieces removed — in-context attribution of the
+    step time (full vs no-reference-banks vs no-motion-modules)."""
+    import jax
+
+    import __graft_entry__ as g
+
+    fn, args = g._flagship(size="full", frames=frames, latent=latent)
+    params, x, t, ctx, pose, banks, drop = args
+    jfn = jax.jit(fn)
+    dt_full = _median(lambda: jfn(params, x, t, ctx, pose, banks, drop), 3)
+    print(f"unet full:        {dt_full*1e3:.1f} ms")
+
+    dt_nb = _median(lambda: jfn(params, x, t, ctx, pose, None, drop), 3)
+    print(f"unet no banks:    {dt_nb*1e3:.1f} ms  (bank-KV attn cost "
+          f"~{(dt_full-dt_nb)*1e3:.0f} ms)")
+
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import SIZES, build_model_defs
+
+    defs = build_model_defs(size="full", use_motion_module=False,
+                            dtype=jnp.bfloat16)
+    unet_nm = defs["denoising_unet"]
+
+    def fn_nm(params, latents, timesteps, context, pose_fea, ref_banks, drop):
+        out, _ = unet_nm.apply(
+            {"params": params}, latents, timesteps, context,
+            pose_cond_fea=pose_fea, ref_banks=ref_banks, drop_ref=drop,
+        )
+        return out
+
+    # motion-module params are simply unused by the no-motion graph
+    jfn_nm = jax.jit(fn_nm)
+    try:
+        dt_nm = _median(lambda: jfn_nm(params, x, t, ctx, pose, banks, drop), 3)
+        print(f"unet no motion:   {dt_nm*1e3:.1f} ms  (motion cost "
+              f"~{(dt_full-dt_nm)*1e3:.0f} ms)")
+    except Exception as e:
+        print(f"unet no motion:   FAILED ({type(e).__name__}: {e})")
+
+
 def _attn_shapes(res=64, heads=8, d=40, frames=16):
     rs = np.random.RandomState(0)
     sq = res * res
@@ -122,12 +164,70 @@ def bench_temporal(frames=16, res=64, c=320, heads=8):
     d = c // heads
     q = jnp.asarray(rs.randn(rows, frames, heads, d), jnp.bfloat16)
 
+    fn = jax.jit(lambda q: scaled_dot_product_attention(q, q, q))
+
     def run():
-        return scaled_dot_product_attention(q, q, q)
+        return fn(q)
 
     dt = _median(run)
     print(f"temporal attn rows={rows} f={frames} d={d}: {dt*1e3:.2f} ms")
     return dt
+
+
+def bench_blocks(frames=16, res_lat=64, c=320, heads=8):
+    """Per-block timings at the 64x64-latent full-size config (CFG rows):
+    conv3x3, ResnetBlock3D, SpatialTransformer read (bank concat),
+    MotionModule — to localise the UNet forward's time."""
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from aniportrait_tpu.models.motion_module import MotionModule
+    from aniportrait_tpu.models.resnet import ResnetBlock3D
+    from aniportrait_tpu.models.transformer_spatial import SpatialTransformer
+
+    rs = np.random.RandomState(0)
+    b = 2  # CFG
+    x5 = jnp.asarray(
+        rs.randn(b, frames, res_lat, res_lat, c) * 0.1, jnp.bfloat16
+    )
+    key = jax.random.PRNGKey(0)
+
+    # plain conv3x3 (the UNet's workhorse)
+    conv = nn.Conv(c, (3, 3), padding=1, dtype=jnp.bfloat16)
+    xc = x5.reshape(b * frames, res_lat, res_lat, c)
+    cp = jax.jit(conv.init)(key, xc)
+    cfn = jax.jit(lambda p, x: conv.apply(p, x))
+    dt = _median(lambda: cfn(cp, xc))
+    gf = 2 * 9 * (b * frames) * res_lat * res_lat * c * c / 1e9
+    print(f"conv3x3 bf={b*frames} {res_lat}^2 c={c}: {dt*1e3:.2f} ms "
+          f"({gf/dt/1e3:.0f} TFLOP/s)")
+
+    res_blk = ResnetBlock3D(out_channels=c, dtype=jnp.bfloat16)
+    temb = jnp.asarray(rs.randn(b, 1280), jnp.bfloat16)
+    rp = jax.jit(res_blk.init)(key, x5, temb)
+    rfn = jax.jit(lambda p, x, t: res_blk.apply(p, x, t))
+    dt = _median(lambda: rfn(rp, x5, temb))
+    print(f"resnet_block_3d: {dt*1e3:.2f} ms")
+
+    st = SpatialTransformer(channels=c, heads=heads, cross_attention_dim=768,
+                            dtype=jnp.bfloat16)
+    ctx = jnp.asarray(rs.randn(b, 1, 768), jnp.bfloat16)
+    bank = jnp.asarray(rs.randn(b, res_lat * res_lat, c) * 0.1, jnp.bfloat16)
+    sp = jax.jit(lambda k: st.init(k, x5, context=ctx, ref_bank=bank))(key)
+    sfn = jax.jit(
+        lambda p, x, cx, bk: st.apply(
+            p, x, context=cx, ref_bank=bk, drop_mode="first_half"
+        )[0]
+    )
+    dt = _median(lambda: sfn(sp, x5, ctx, bank))
+    print(f"spatial_transformer (ref-KV, CFG split): {dt*1e3:.2f} ms")
+
+    mm = MotionModule(channels=c, heads=heads, dtype=jnp.bfloat16)
+    mp = jax.jit(mm.init)(key, x5)
+    mfn = jax.jit(lambda p, x: mm.apply(p, x))
+    dt = _median(lambda: mfn(mp, x5))
+    print(f"motion_module: {dt*1e3:.2f} ms")
 
 
 def bench_pose(frames=16, res=512):
@@ -285,6 +385,10 @@ def main():
         bench_temporal()
     if which in ("pose", "all"):
         bench_pose()
+    if which == "blocks":
+        bench_blocks()
+    if which == "unet_ablate":
+        bench_unet_ablate()
     if which in ("vae", "all"):
         bench_vae()
 
