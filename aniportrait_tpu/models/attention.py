@@ -46,7 +46,8 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, context=None, mask_bias=None, kv_split=None, drop_tail=None):
+    def __call__(self, x, context=None, mask_bias=None, kv_split=None,
+                 drop_tail=None, extra_kv=None, extra_repeat: int = 1):
         """
         Args:
           x: (B, Sq, C) queries.
@@ -54,16 +55,31 @@ class CrossAttention(nn.Module):
           mask_bias: optional additive bias broadcastable to (B, H, Sq, Skv).
           kv_split/drop_tail: reference-KV mode (see
             ops.attention.scaled_dot_product_attention).
+          extra_kv: optional (B', L, C) tokens appended to K/V AFTER
+            projection (projecting separately == projecting the concat,
+            since to_k/to_v are per-token linear).  The reference banks go
+            through here UNREPEATED: the projection is done once per batch
+            row instead of once per (batch x frame) row, and — being
+            denoise-loop-invariant — XLA hoists it out of the sampler scan
+            entirely (the concat-then-project form recomputed ~270 GFLOP of
+            bank projections every step).
+          extra_repeat: row-tile factor applied to the projected extra K/V
+            (frames per batch row).
         """
         inner = self.heads * self.dim_head
         context = x if context is None else context
         q = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")(
-            context
-        )
-        v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")(
-            context
-        )
+        to_k = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_k")
+        to_v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")
+        k = to_k(context)
+        v = to_v(context)
+        if extra_kv is not None:
+            ke = jnp.repeat(to_k(extra_kv), extra_repeat, axis=0)
+            ve = jnp.repeat(to_v(extra_kv), extra_repeat, axis=0)
+            if kv_split is not None or drop_tail is not None:
+                kv_split = k.shape[1]
+            k = jnp.concatenate([k, ke], axis=1)
+            v = jnp.concatenate([v, ve], axis=1)
         b, sq = q.shape[0], q.shape[1]
         skv = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)
@@ -156,30 +172,33 @@ class SpatialTransformerBlock(nn.Module):
         if ref_bank is None:
             x = x + attn1(h)
         else:
-            hw = h.shape[1]
-            bank_kv = jnp.repeat(
-                ref_bank.astype(self.dtype), video_length, axis=0
-            )  # (B*F, L, C)
+            bank = ref_bank.astype(self.dtype)  # (B, L, C) — UNREPEATED;
+            # projection happens inside attn1 (extra_kv), once per batch
+            # row, hoistable out of the denoise scan
             if drop_mode == "none":
-                kv = jnp.concatenate([h, bank_kv], axis=1)
-                x = x + attn1(h, context=kv)
+                x = x + attn1(h, extra_kv=bank, extra_repeat=video_length)
             elif drop_mode == "first_half":
                 # batch rows are (B, F) flattened with F contiguous; the
                 # uncond half is the first B/2 batch rows == first half of
                 # the flattened rows
                 half = h.shape[0] // 2
+                half_b = bank.shape[0] // 2
                 h_u, h_c = h[:half], h[half:]
-                kv_c = jnp.concatenate([h_c, bank_kv[half:]], axis=1)
                 out_u = attn1(h_u)
-                out_c = attn1(h_c, context=kv_c)
+                out_c = attn1(
+                    h_c, extra_kv=bank[half_b:], extra_repeat=video_length
+                )
                 x = x + jnp.concatenate([out_u, out_c], axis=0)
             else:  # 'traced'
-                kv = jnp.concatenate([h, bank_kv], axis=1)
                 if drop_ref is not None:
                     row_drop = jnp.repeat(drop_ref, video_length, axis=0)
                 else:
                     row_drop = jnp.zeros((h.shape[0],), bool)
-                x = x + attn1(h, context=kv, kv_split=hw, drop_tail=row_drop)
+                # kv_split is derived inside attn1 (self-token count)
+                x = x + attn1(
+                    h, extra_kv=bank, extra_repeat=video_length,
+                    drop_tail=row_drop,
+                )
 
         if self.cross_attention_dim is not None:
             h = _ln("norm2")(x).astype(self.dtype)
