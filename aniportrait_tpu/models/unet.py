@@ -90,6 +90,8 @@ class AniUNet(nn.Module):
         drop_ref: Optional[jnp.ndarray] = None,
         capture_banks: bool = False,
         drop_mode: str = "traced",
+        mode: str = "full",
+        enc_features=None,
     ):
         """
         Args:
@@ -103,7 +105,15 @@ class AniUNet(nn.Module):
           capture_banks: return banks instead of consuming them.
           drop_mode: 'traced' | 'none' | 'first_half' (static CFG layout;
             see SpatialTransformerBlock).
-        Returns: (output or None, banks dict)
+          mode: 'full' | 'encode' | 'decode' — the encoder-cache split
+            (Faster Diffusion, arXiv 2312.09608: down+mid features vary
+            slowly across adjacent denoise steps; 'encode' returns them,
+            'decode' consumes a cached copy and runs only the up path).
+            'encode' ∘ 'decode' at the same step is bit-identical to
+            'full' (tested).
+          enc_features: the (mid_sample, res_stack tuple) from 'encode',
+            required for mode='decode'.
+        Returns: (output or enc_features or None, banks dict)
         """
         ch = list(self.block_out_channels)
         n_down = len(ch)
@@ -147,55 +157,65 @@ class AniUNet(nn.Module):
             t_emb.astype(self.dtype)
         )
 
-        sample = InflatedConv(ch[0], dtype=self.dtype, name="conv_in")(sample)
-        if pose_cond_fea is not None:
-            sample = sample + pose_cond_fea[0]
-
-        # ---------------------------------------------------------------- down
-        res_stack = [sample]
-        for i in range(n_down):
-            out_c = ch[i]
-            has_attn = i < n_down - 1
-            res = 2**i
-            has_motion = self.use_motion_module and res in self.motion_module_resolutions
-            for j in range(self.layers_per_block):
-                sample = ResBlock(
-                    out_channels=out_c,
-                    use_inflated_groupnorm=self.use_inflated_groupnorm,
-                    dtype=self.dtype,
-                    name=f"down_{i}_resnet_{j}",
-                )(sample, emb)
-                if has_attn:
-                    sample = spatial(sample, f"down_{i}_{j}", encoder_hidden_states)
-                if has_motion:
-                    sample = self._motion(out_c, f"down_{i}_motion_{j}")(sample)
-                res_stack.append(sample)
-            if i < n_down - 1:
-                sample = Downsample3D(out_c, dtype=self.dtype, name=f"down_{i}_downsample")(
-                    sample
-                )
-                res_stack.append(sample)
+        if mode == "decode":
+            assert enc_features is not None, "mode='decode' needs enc_features"
+            sample, res_tuple = enc_features
+            res_stack = list(res_tuple)
+        else:
+            sample = InflatedConv(ch[0], dtype=self.dtype, name="conv_in")(sample)
             if pose_cond_fea is not None:
-                sample = sample + pose_cond_fea[i + 1]
+                sample = sample + pose_cond_fea[0]
 
-        # ----------------------------------------------------------------- mid
-        mid_c = ch[-1]
-        mid_motion = self.use_motion_module and self.motion_module_mid_block
-        sample = ResBlock(
-            out_channels=mid_c,
-            use_inflated_groupnorm=self.use_inflated_groupnorm,
-            dtype=self.dtype,
-            name="mid_resnet_0",
-        )(sample, emb)
-        sample = spatial(sample, "mid_0", encoder_hidden_states)
-        if mid_motion:
-            sample = self._motion(mid_c, "mid_motion_0")(sample)
-        sample = ResBlock(
-            out_channels=mid_c,
-            use_inflated_groupnorm=self.use_inflated_groupnorm,
-            dtype=self.dtype,
-            name="mid_resnet_1",
-        )(sample, emb)
+            # ------------------------------------------------------------ down
+            res_stack = [sample]
+            for i in range(n_down):
+                out_c = ch[i]
+                has_attn = i < n_down - 1
+                res = 2**i
+                has_motion = (
+                    self.use_motion_module and res in self.motion_module_resolutions
+                )
+                for j in range(self.layers_per_block):
+                    sample = ResBlock(
+                        out_channels=out_c,
+                        use_inflated_groupnorm=self.use_inflated_groupnorm,
+                        dtype=self.dtype,
+                        name=f"down_{i}_resnet_{j}",
+                    )(sample, emb)
+                    if has_attn:
+                        sample = spatial(sample, f"down_{i}_{j}", encoder_hidden_states)
+                    if has_motion:
+                        sample = self._motion(out_c, f"down_{i}_motion_{j}")(sample)
+                    res_stack.append(sample)
+                if i < n_down - 1:
+                    sample = Downsample3D(
+                        out_c, dtype=self.dtype, name=f"down_{i}_downsample"
+                    )(sample)
+                    res_stack.append(sample)
+                if pose_cond_fea is not None:
+                    sample = sample + pose_cond_fea[i + 1]
+
+            # ------------------------------------------------------------- mid
+            mid_c = ch[-1]
+            mid_motion = self.use_motion_module and self.motion_module_mid_block
+            sample = ResBlock(
+                out_channels=mid_c,
+                use_inflated_groupnorm=self.use_inflated_groupnorm,
+                dtype=self.dtype,
+                name="mid_resnet_0",
+            )(sample, emb)
+            sample = spatial(sample, "mid_0", encoder_hidden_states)
+            if mid_motion:
+                sample = self._motion(mid_c, "mid_motion_0")(sample)
+            sample = ResBlock(
+                out_channels=mid_c,
+                use_inflated_groupnorm=self.use_inflated_groupnorm,
+                dtype=self.dtype,
+                name="mid_resnet_1",
+            )(sample, emb)
+
+        if mode == "encode":
+            return (sample, tuple(res_stack)), banks
 
         # ------------------------------------------------------------------ up
         rev = list(reversed(ch))  # (1280, 1280, 640, 320)

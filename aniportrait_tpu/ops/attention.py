@@ -129,6 +129,13 @@ def scaled_dot_product_attention(
     # (the VAE's 512-dim single-head attention) stay on XLA
     if impl == "auto":
         impl = _impl_override()
+    # single-KV-token cross attention (the CLIP image embed is 1 token):
+    # softmax over one logit is 1, so the output is exactly V broadcast —
+    # no logits, no softmax, no matmuls
+    if impl == "auto" and bias is None and kv_split is None and k.shape[1] == 1:
+        return jnp.broadcast_to(
+            v, (q.shape[0], q.shape[1]) + v.shape[2:]
+        ).astype(q.dtype)
     # many-tiny-sequences self-attention (temporal/motion): packed path
     if (
         impl == "auto"

@@ -73,11 +73,19 @@ class Pose2VideoPipeline:
         context_overlap: int = 4,
         window_batch: int = 4,
         mesh=None,
+        encoder_cache_interval: int = 1,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
         windows of each denoise step are sharded across it (the reference
         runs windows sequentially on one GPU,
-        pipeline_pose2vid_long.py:519); params are replicated."""
+        pipeline_pose2vid_long.py:519); params are replicated.
+
+        encoder_cache_interval: opt-in approximation (Faster Diffusion,
+        arXiv 2312.09608): refresh the UNet's down+mid features every k-th
+        denoise step and reuse them in between (the encoder's features vary
+        slowly across adjacent steps).  1 = exact (default); 2-3 trades
+        ~35-45%% of UNet compute for a small quality cost — gate with
+        scripts/quality_gate.py before production use."""
         self.m = modules
         self.dtype = dtype
         self.context_frames = context_frames
@@ -85,6 +93,7 @@ class Pose2VideoPipeline:
         self.context_overlap = context_overlap
         self.window_batch = window_batch
         self.mesh = mesh
+        self.encoder_cache_interval = int(encoder_cache_interval)
         if mesh is not None:
             from aniportrait_tpu.parallel.mesh import replicate
 
@@ -222,22 +231,16 @@ class Pose2VideoPipeline:
             )
             return ctx, banks_t
 
-        def unet_on_windows(den_params, latents, t, ctx, banks_t, pose_fea, win, valid):
-            """win: (wb, win_len) frame indices; returns window preds.
-            ctx/banks_t are already tiled to the window-batch rows."""
-            # gather latents (1, L, h, w, 4) -> (wb, win_len, h, w, 4)
+        k_cache = max(1, self.encoder_cache_interval)
+
+        def _window_inputs(latents, pose_fea, win):
+            """Gather + CFG-double the per-window UNet inputs."""
             lat = latents[0][win]  # (wb, win_len, h, w, 4)
             lat = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
             pose_w = [
                 jnp.concatenate([pf[0][win]] * 2, axis=0) if do_cfg else pf[0][win]
                 for pf in pose_fea
             ]
-            b = lat.shape[0]
-            # static CFG structure: uncond rows are the first half —
-            # dispatched as separate self-only / concat attention calls
-            # instead of a traced mask (saves the dual-computation)
-            drop_mode = "first_half" if do_cfg else "none"
-            drop_ref = None
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -246,40 +249,105 @@ class Pose2VideoPipeline:
                 pose_w = [
                     jax.lax.with_sharding_constraint(pw, shard) for pw in pose_w
                 ]
-            tb = jnp.full((b,), t, jnp.int32)
-            pred, _ = m.denoising_unet.apply(
+            return lat, pose_w
+
+        def _unet_apply(den_params, lat, t, ctx, banks_t, pose_w, **kw):
+            b = lat.shape[0]
+            # static CFG structure: uncond rows are the first half —
+            # dispatched as separate self-only / concat attention calls
+            # instead of a traced mask (saves the dual-computation)
+            out, _ = m.denoising_unet.apply(
                 {"params": den_params},
                 lat.astype(self.dtype),
-                tb,
+                jnp.full((b,), t, jnp.int32),
                 ctx,
                 pose_cond_fea=pose_w,
                 ref_banks=banks_t,
-                drop_ref=drop_ref,
-                drop_mode=drop_mode,
+                drop_ref=None,
+                drop_mode="first_half" if do_cfg else "none",
+                **kw,
             )
-            return pred  # (b, win_len, h, w, 4)
+            return out
+
+        def unet_on_windows(den_params, latents, t, ctx, banks_t, pose_fea,
+                            win, valid, refresh=None, enc_cache=None):
+            """win: (wb, win_len) frame indices; returns (pred, new_cache).
+            ctx/banks_t are already tiled to the window-batch rows.  With
+            the encoder cache active, down+mid features are recomputed only
+            when ``refresh`` is True, else ``enc_cache`` is reused."""
+            lat, pose_w = _window_inputs(latents, pose_fea, win)
+            if k_cache <= 1:
+                pred = _unet_apply(den_params, lat, t, ctx, banks_t, pose_w)
+                return pred, None
+            enc = jax.lax.cond(
+                refresh,
+                lambda: _unet_apply(
+                    den_params, lat, t, ctx, banks_t, pose_w, mode="encode"
+                ),
+                lambda: enc_cache,
+            )
+            pred = _unet_apply(
+                den_params, lat, t, ctx, banks_t, pose_w,
+                mode="decode", enc_features=enc,
+            )
+            return pred, enc  # (b, win_len, h, w, 4), cache pytree
 
         def sample_impl(den_params, latents, ctx_cfg, banks, pose_fea):
             n_rows = (2 if do_cfg else 1) * wb
             ctx_t, banks_t = tile_cfg(ctx_cfg, banks, n_rows)
 
-            def step(carry, t):
-                return _one_step(den_params, carry, t, ctx_t, banks_t, pose_fea)
+            if k_cache > 1:
+                # per-window-batch encoder cache, zeros until first refresh
+                lat0, pose_w0 = _window_inputs(latents, pose_fea, windows_b[0])
+                enc_shapes = jax.eval_shape(
+                    lambda p, l: _unet_apply(
+                        p, l, timesteps[0], ctx_t, banks_t, pose_w0,
+                        mode="encode",
+                    ),
+                    den_params, lat0,
+                )
+                cache0 = jax.tree.map(
+                    lambda s: jnp.zeros(
+                        (windows_b.shape[0],) + s.shape, s.dtype
+                    ),
+                    enc_shapes,
+                )
+            else:
+                cache0 = None
 
-            latents, _ = jax.lax.scan(step, latents, timesteps)
+            def step(carry, t_and_i):
+                t, i = t_and_i
+                latents, cache = carry
+                new_lat, new_cache = _one_step(
+                    den_params, latents, t, i, ctx_t, banks_t, pose_fea, cache
+                )
+                return (new_lat, new_cache), None
+
+            (latents, _), _ = jax.lax.scan(
+                step, (latents, cache0),
+                (timesteps, jnp.arange(len(timesteps))),
+            )
             return latents
 
-        def _one_step(den_params, latents, t, ctx_t, banks_t, pose_fea):
+        def _one_step(den_params, latents, t, step_i, ctx_t, banks_t, pose_fea,
+                      cache):
             acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
             noise_pred0 = jnp.zeros(acc_shape, jnp.float32)
             counter0 = jnp.zeros((1, video_length, 1, 1, 1), jnp.float32)
+            refresh = (step_i % k_cache) == 0
 
-            def win_body(accs, win_and_valid):
+            def win_body(accs, xs):
                 noise_pred, counter = accs
-                win, valid = win_and_valid
-                pred = unet_on_windows(
-                    den_params, latents, t, ctx_t, banks_t, pose_fea, win, valid
-                ).astype(jnp.float32)
+                if k_cache > 1:
+                    win, valid, cache_slice = xs
+                else:
+                    win, valid = xs
+                    cache_slice = None
+                pred, new_cache = unet_on_windows(
+                    den_params, latents, t, ctx_t, banks_t, pose_fea, win,
+                    valid, refresh=refresh, enc_cache=cache_slice,
+                )
+                pred = pred.astype(jnp.float32)
                 vmask = valid.astype(jnp.float32)
                 if do_cfg:
                     pu, pc = jnp.split(pred, 2, axis=0)
@@ -291,10 +359,15 @@ class Pose2VideoPipeline:
                     if do_cfg:
                         noise_pred = noise_pred.at[1, win[k]].add(pc[k] * w)
                     counter = counter.at[0, win[k]].add(w)
-                return (noise_pred, counter), None
+                return (noise_pred, counter), new_cache
 
-            (noise_pred, counter), _ = jax.lax.scan(
-                win_body, (noise_pred0, counter0), (windows_b, valid_b)
+            xs = (
+                (windows_b, valid_b, cache)
+                if k_cache > 1
+                else (windows_b, valid_b)
+            )
+            (noise_pred, counter), new_cache = jax.lax.scan(
+                win_body, (noise_pred0, counter0), xs
             )
             noise_pred = noise_pred / counter
             if do_cfg:
@@ -304,7 +377,7 @@ class Pose2VideoPipeline:
             else:
                 pred = noise_pred[0:1]
             new_latents = sched.step(pred, t, latents, num_inference_steps=steps)
-            return new_latents, None
+            return new_latents, new_cache
 
         return jax.jit(sample_impl)
 

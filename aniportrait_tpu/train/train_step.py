@@ -111,10 +111,17 @@ def make_train_step(
     noise_offset: float = 0.05,
     uncond_ratio: float = 0.1,
     compiler_options: Dict[str, Any] | None = None,
+    stage: int = 1,
 ):
     """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``
     with ``frozen = (vae_params, clip_params)`` passed as arguments (NOT
     captured — closures would embed the frozen weights as HLO constants).
+
+    ``stage`` selects the freeze mask: gradients are computed ONLY for the
+    trainable subtree (the torch reference's ``requires_grad=False``
+    equivalent).  Differentiating the full tree and zeroing afterwards
+    allocated ~7 GB of frozen-weight gradient buffers at stage-2 full
+    scale — the difference between OOM and fitting in 16 GB HBM.
 
     batch (channels-last, [-1, 1] images):
       pixel_values:         (b, f, H, W, 3)
@@ -212,10 +219,29 @@ def make_train_step(
             loss = err.mean()
         return loss, new_stats["batch_stats"]
 
+    mask_fn = _freeze_mask_stage1 if stage == 1 else _freeze_mask_stage2
+
     @partial(jax.jit, compiler_options=compiler_options)
     def train_step(state: TrainState, frozen, batch, rng):
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, frozen, batch, rng
+        from flax import traverse_util
+
+        # trace-time partition: diff only the trainable leaves
+        flat = traverse_util.flatten_dict(state.params)
+        labels = traverse_util.flatten_dict(mask_fn(state.params))
+        train_f = {k: v for k, v in flat.items() if labels[k] == "train"}
+        frozen_f = {k: v for k, v in flat.items() if labels[k] != "train"}
+
+        def loss_train(train_leaves, batch_stats):
+            params = traverse_util.unflatten_dict({**frozen_f, **train_leaves})
+            return loss_fn(params, batch_stats, frozen, batch, rng)
+
+        (loss, new_stats), grads_train = jax.value_and_grad(
+            loss_train, has_aux=True
+        )(train_f, state.batch_stats)
+        # full-tree zeros for the frozen part: multi_transform's set_to_zero
+        # never reads them, so XLA folds the broadcasts away
+        grads = traverse_util.unflatten_dict(
+            {**{k: jnp.zeros_like(v) for k, v in frozen_f.items()}, **grads_train}
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

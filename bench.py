@@ -148,7 +148,9 @@ def bench_audio2mesh():
     wav = rs.randn(1, sr * secs).astype(np.float32)
 
     model = Audio2MeshModel()
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(wav), frames)
+    params = jax.jit(model.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.asarray(wav), frames
+    )
     fn = jax.jit(
         lambda p, w: model.apply(p, w, frames), static_argnames=()
     )
@@ -212,7 +214,9 @@ def _synth_pose_frames(n, res):
 
     t_audio0 = time.perf_counter()
     a2m = Audio2MeshModel()
-    p_m = jax.jit(a2m.init)(jax.random.PRNGKey(0), jnp.asarray(wav), n)
+    p_m = jax.jit(a2m.init, static_argnums=(2,))(
+        jax.random.PRNGKey(0), jnp.asarray(wav), n
+    )
     offsets = np.asarray(
         jax.jit(lambda p, w: a2m.apply(p, w, n))(p_m, jnp.asarray(wav))
     )[0].reshape(n, 468, 3)

@@ -305,7 +305,7 @@ def bench_stage2_step(frames=16, res=512, batch=1):
         "pose_guider": modules.pose_guider_variables["params"],
     }
     tx = make_optimizer(params, stage=2)
-    step = make_train_step(defs, tx, defs["scheduler"])
+    step = make_train_step(defs, tx, defs["scheduler"], stage=2)
     state = TrainState(
         params, modules.pose_guider_variables["batch_stats"],
         tx.init(params), jnp.zeros((), jnp.int32),

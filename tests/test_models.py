@@ -191,3 +191,36 @@ def test_small_seq_attention_matches_naive(b, s, h, d):
     got = small_seq_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
+
+
+def test_single_kv_token_attention_is_v_broadcast():
+    """Cross-attention with one KV token (the CLIP image embed) reduces to
+    broadcasting V: softmax over a single logit is 1."""
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.attention import scaled_dot_product_attention
+
+    rs = np.random.RandomState(3)
+    q = jnp.asarray(rs.randn(2, 64, 4, 16).astype(np.float32))
+    k = jnp.asarray(rs.randn(2, 1, 4, 16).astype(np.float32))
+    v = jnp.asarray(rs.randn(2, 1, 4, 16).astype(np.float32))
+    fast = scaled_dot_product_attention(q, k, v)
+    ref = scaled_dot_product_attention(q, k, v, impl="naive")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+
+def test_encoder_decoder_split_is_bit_exact(denoise_setup, banks):
+    """mode='encode' then mode='decode' must equal mode='full' bitwise —
+    the exactness contract of the opt-in encoder cache."""
+    net, params, _ = denoise_setup
+    x = jnp.ones((B, F, HW, HW, 4)) * 0.1
+    t = jnp.full((B,), 7, jnp.int32)
+    ctx = jnp.ones((B, 1, 16)) * 0.2
+    pose = tiny_pose_features(B, F)
+    drop = jnp.zeros((B,), bool)
+    kw = dict(pose_cond_fea=pose, ref_banks=banks, drop_ref=drop)
+    full, _ = net.apply(params, x, t, ctx, **kw)
+    enc, _ = net.apply(params, x, t, ctx, **kw, mode="encode")
+    dec, _ = net.apply(params, x, t, ctx, **kw, mode="decode",
+                       enc_features=enc)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(dec))

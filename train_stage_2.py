@@ -143,6 +143,7 @@ def main():
         snr_gamma=float(cfg.get("snr_gamma", 0.0)),
         noise_offset=float(cfg.get("noise_offset", 0.0)),
         uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
+        stage=2,
     )
 
     # data-parallel mesh no larger than the batch allows
