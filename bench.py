@@ -77,7 +77,8 @@ def _median_time(fn, n=3):
 
 
 def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
-                   metric=None, baseline=None, runs=3):
+                   metric=None, baseline=None, runs=3,
+                   encoder_cache_interval=1):
     import jax.numpy as jnp
 
     from aniportrait_tpu.factory import build_model_defs
@@ -87,7 +88,10 @@ def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
 
     defs = build_model_defs(size=size, use_motion_module=True, dtype=jnp.bfloat16)
     modules = _bf16_modules(defs)
-    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=window_batch)
+    pipe = Pose2VideoPipeline(
+        modules, dtype=jnp.bfloat16, window_batch=window_batch,
+        encoder_cache_interval=encoder_cache_interval,
+    )
 
     rs = np.random.RandomState(0)
     ref = rs.randint(0, 255, (res, res, 3), np.uint8)
@@ -336,9 +340,15 @@ def main():
         if cfg == "audio2vid_acc":
             return bench_audio2vid(acc=True)
         raise SystemExit(f"unknown --config {cfg!r}")
+    ec = 1
+    if "--encoder-cache" in argv:
+        ec = int(argv[argv.index("--encoder-cache") + 1])
     # driver default
-    return bench_pose2vid(metric="frames_per_sec_512px_25step",
-                          baseline=A100_FPS_512_25)
+    return bench_pose2vid(
+        metric="frames_per_sec_512px_25step"
+        + (f"_enccache{ec}" if ec > 1 else ""),
+        baseline=A100_FPS_512_25, encoder_cache_interval=ec,
+    )
 
 
 if __name__ == "__main__":

@@ -51,7 +51,8 @@ def _to_jax(tree):
     return jax.tree.map(jnp.asarray, tree)
 
 
-def load_pipeline(config: Config, dtype=jnp.bfloat16) -> Pose2VideoPipeline:
+def load_pipeline(config: Config, dtype=jnp.bfloat16,
+                  encoder_cache_interval: int = 1) -> Pose2VideoPipeline:
     """config: a prompt YAML (configs/prompts/animation*.yaml shape)."""
     infer_cfg = load_config(str(config.inference_config))
     mk = infer_cfg.unet_additional_kwargs.motion_module_kwargs
@@ -99,7 +100,9 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16) -> Pose2VideoPipeline:
         pose_guider_variables=_to_jax(pg_vars),
         scheduler=defs["scheduler"],
     )
-    return Pose2VideoPipeline(modules, dtype=dtype)
+    return Pose2VideoPipeline(
+        modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval
+    )
 
 
 def load_audio_models(audio_config: Config):
