@@ -112,10 +112,17 @@ def make_train_step(
     uncond_ratio: float = 0.1,
     compiler_options: Dict[str, Any] | None = None,
     stage: int = 1,
+    donate: bool = True,
 ):
     """Returns ``train_step(state, frozen, batch, rng) -> (state, metrics)``
     with ``frozen = (vae_params, clip_params)`` passed as arguments (NOT
     captured — closures would embed the frozen weights as HLO constants).
+
+    ``donate``: donate the TrainState buffers so the updated params/opt
+    state reuse the old allocation — without it the ~13 GB state lives
+    twice during the step (the caller must rebind:
+    ``state, _ = train_step(state, ...)``).  Set False when the old state
+    must stay readable (the CPU dryrun's update-delta check).
 
     ``stage`` selects the freeze mask: gradients are computed ONLY for the
     trainable subtree (the torch reference's ``requires_grad=False``
@@ -221,7 +228,11 @@ def make_train_step(
 
     mask_fn = _freeze_mask_stage1 if stage == 1 else _freeze_mask_stage2
 
-    @partial(jax.jit, compiler_options=compiler_options)
+    @partial(
+        jax.jit,
+        compiler_options=compiler_options,
+        donate_argnums=(0,) if donate else (),
+    )
     def train_step(state: TrainState, frozen, batch, rng):
         from flax import traverse_util
 

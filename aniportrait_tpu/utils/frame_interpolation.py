@@ -79,14 +79,26 @@ def _load_film(weights_path: str | None, random_init: bool = False) -> Callable:
         )
         return jnp.clip(out, 0.0, 1.0)
 
+    max_batch = 4  # pyramid activations at 512px are ~HBM-GB-scale per pair
+
     def fn(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
         single = frame1.ndim == 3
         if single:
             frame1, frame2 = frame1[None], frame2[None]
-        out = np.asarray(mid(jnp.asarray(frame1), jnp.asarray(frame2)))
+        outs = []
+        for i in range(0, frame1.shape[0], max_batch):
+            outs.append(
+                np.asarray(
+                    mid(
+                        jnp.asarray(frame1[i : i + max_batch]),
+                        jnp.asarray(frame2[i : i + max_batch]),
+                    )
+                )
+            )
+        out = np.concatenate(outs, axis=0)
         return out[0] if single else out
 
-    fn.batched = True  # accepts (B, H, W, 3) pairs in one dispatch
+    fn.batched = True  # accepts (B, H, W, 3) pairs (chunked internally)
     return fn
 
 

@@ -320,9 +320,11 @@ def bench_stage2_step(frames=16, res=512, batch=1):
         "clip_ref_image": rs.randn(batch, img, img, 3).astype(np.float32),
     }
     rng = jax.random.PRNGKey(0)
+    holder = {"state": state}
 
     def run():
-        new_state, metrics = step(state, frozen, batch_data, rng)
+        new_state, metrics = step(holder["state"], frozen, batch_data, rng)
+        holder["state"] = new_state  # buffers are donated
         return metrics["loss"]
 
     dt = _median(run, 3)
