@@ -75,18 +75,20 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(y0 + 1, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
 
-    flat = image.reshape(b, h * w, c)
-
-    def gather(yy, xx):
-        idx = yy * w + xx  # (B, H, W)
-        return jnp.take_along_axis(
-            flat, idx.reshape(b, h * w, 1), axis=1
-        ).reshape(b, h, w, c)
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x1)
-    v10 = gather(y1, x0)
-    v11 = gather(y1, x1)
+    # ONE flattened gather for all 4 bilinear neighbours x batch: global
+    # row indices into (B*H*W, C).  A single big take lowers to one XLA
+    # gather instead of four batched ones (TPU gathers have high fixed
+    # cost; per-(batch, neighbour) take_along_axis calls were the -acc
+    # path's bottleneck).
+    flat = image.reshape(b * h * w, c)
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    i00 = base + y0 * w + x0
+    i01 = base + y0 * w + x1
+    i10 = base + y1 * w + x0
+    i11 = base + y1 * w + x1
+    idx = jnp.stack([i00, i01, i10, i11])  # (4, B, H, W)
+    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b, h, w, c)
+    v00, v01, v10, v11 = vals[0], vals[1], vals[2], vals[3]
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return (top * (1 - wy) + bot * wy).astype(image.dtype)

@@ -145,7 +145,14 @@ def make_train_step(
     def vae_sample(vae_params, img, rng):
         mean, logvar = vae.apply({"params": vae_params}, img, method=vae.encode)
         eps = jax.random.normal(rng, mean.shape, mean.dtype)
-        return (mean + jnp.exp(0.5 * logvar) * eps) * VAE_SCALE
+        # stop_gradient: nothing trainable is upstream of the frozen VAE, but
+        # without it JAX linearises through the encoder and keeps multi-GB
+        # f32 residuals alive for a backward pass that is pure dead code
+        # (observed: 2x 2 GB jvp(AutoencoderKL.encode) buffers at stage-2
+        # full scale)
+        return jax.lax.stop_gradient(
+            (mean + jnp.exp(0.5 * logvar) * eps) * VAE_SCALE
+        )
 
     def loss_fn(params, batch_stats, frozen, batch, rng):
         vae_params, clip_params = frozen
@@ -170,7 +177,9 @@ def make_train_step(
         # jax.random.uniform(keys[2], (b,)) < uncond_ratio.
         uncond = jax.random.uniform(keys[2], ()) < uncond_ratio
         clip_img = jnp.where(uncond, 0.0, 1.0) * batch["clip_ref_image"]
-        embeds = clip.apply({"params": clip_params}, clip_img)
+        embeds = jax.lax.stop_gradient(
+            clip.apply({"params": clip_params}, clip_img)
+        )  # frozen CLIP: same dead-backward argument as vae_sample
         ctx = embeds[:, None, :]  # (b, 1, 768)
 
         noise = jax.random.normal(keys[3], latents.shape, latents.dtype)

@@ -335,6 +335,25 @@ def bench_stage2_step(frames=16, res=512, batch=1):
     return dt
 
 
+def bench_film(res=512, batch=4):
+    """One warm FiLM midpoint call (the -acc interpolator)."""
+    import numpy as np
+
+    from aniportrait_tpu.utils.frame_interpolation import (
+        init_frame_interpolation_model,
+    )
+
+    film = init_frame_interpolation_model(weights_path=None, random_init=True)
+    rs = np.random.RandomState(0)
+    a = rs.rand(batch, res, res, 3).astype(np.float32)
+    b = rs.rand(batch, res, res, 3).astype(np.float32)
+    film(a, b)  # compile
+    dt = _median(lambda: film(a, b), 3)
+    print(f"film midpoint batch={batch} {res}px: {dt*1e3:.1f} ms "
+          f"({dt/batch*1e3:.1f} ms/frame)")
+    return dt
+
+
 def bench_tunnel():
     """Host<->device transfer + dispatch round-trip through the axon tunnel
     (the chip is remote; HTTP tunnel throughput varies run to run)."""
@@ -391,6 +410,8 @@ def main():
         bench_blocks()
     if which == "unet_ablate":
         bench_unet_ablate()
+    if which == "film":
+        bench_film()
     if which in ("vae", "all"):
         bench_vae()
 

@@ -97,7 +97,8 @@ def test_gradient_accumulation_multisteps():
     """MultiSteps(k=2): params move only on the 2nd micro-step."""
     defs, params, stats, frozen = _setup()
     tx = optax.MultiSteps(make_optimizer(params, stage=1), every_k_schedule=2)
-    step = make_train_step(defs, tx, defs["scheduler"])
+    # donate=False: this test reads the pre-step params after the update
+    step = make_train_step(defs, tx, defs["scheduler"], donate=False)
     state = init_train_state(params, stats, tx)
 
     s1, _ = step(state, frozen, _batch(), jax.random.PRNGKey(0))
