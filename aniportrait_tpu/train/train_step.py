@@ -75,6 +75,19 @@ def _freeze_mask_stage2(params):
     }
 
 
+def cast_frozen_to_bf16(params, stage: int):
+    """Store FROZEN leaves in bf16 (trainable master weights stay f32) —
+    the reference's behaviour: Accelerate moves the frozen modules to fp16
+    (train_stage_2.py weight_dtype) while DDP keeps trainables fp32.  At
+    stage-2 full scale this is ~4 GB of HBM."""
+    mask = _freeze_mask_stage1(params) if stage == 1 else _freeze_mask_stage2(params)
+    return jax.tree.map(
+        lambda p, lbl: p.astype(jnp.bfloat16) if lbl == "freeze" else p,
+        params,
+        mask,
+    )
+
+
 def make_optimizer(
     params,
     stage: int,

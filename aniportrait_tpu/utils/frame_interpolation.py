@@ -81,24 +81,32 @@ def _load_film(weights_path: str | None, random_init: bool = False) -> Callable:
 
     max_batch = 4  # pyramid activations at 512px are ~HBM-GB-scale per pair
 
-    def fn(frame1: np.ndarray, frame2: np.ndarray) -> np.ndarray:
+    def fn(frame1, frame2):
+        """Device arrays in -> device arrays out (no host round trip: the
+        chip is behind a ~50 MB/s tunnel; per-chunk np transfers made FiLM
+        ~17x slower than its ~100 ms/frame device compute).  Numpy in ->
+        numpy out for host callers."""
+        import jax
+
+        on_device = isinstance(frame1, jax.Array)
         single = frame1.ndim == 3
         if single:
             frame1, frame2 = frame1[None], frame2[None]
         outs = []
         for i in range(0, frame1.shape[0], max_batch):
             outs.append(
-                np.asarray(
-                    mid(
-                        jnp.asarray(frame1[i : i + max_batch]),
-                        jnp.asarray(frame2[i : i + max_batch]),
-                    )
+                mid(
+                    jnp.asarray(frame1[i : i + max_batch]),
+                    jnp.asarray(frame2[i : i + max_batch]),
                 )
             )
-        out = np.concatenate(outs, axis=0)
+        out = jnp.concatenate(outs, axis=0)
+        if not on_device:
+            out = np.asarray(out)
         return out[0] if single else out
 
     fn.batched = True  # accepts (B, H, W, 3) pairs (chunked internally)
+    fn.device_io = True  # jax.Array in -> jax.Array out
     return fn
 
 
@@ -147,11 +155,20 @@ def batch_images_interpolation_tool(
     remote-chip tunnel (~40 ms RTT each)."""
     b, f = video.shape[:2]
     if getattr(model, "batched", False):
+        device_io = getattr(model, "device_io", False)
+        if device_io:
+            import jax.numpy as jnp
+
+            stack = jnp.stack
+            video_in = jnp.asarray(video)  # ONE upload for the whole clip
+        else:
+            stack = np.stack
+            video_in = video
         out_clips = []
         for bi in range(b):
             # per original pair, the growing [pair, k] frame sequences
             seqs = [
-                [video[bi, i], video[bi, i + 1]] for i in range(f - 1)
+                [video_in[bi, i], video_in[bi, i + 1]] for i in range(f - 1)
             ]
             remaining = inter_frames
             while remaining > 0:
@@ -164,8 +181,8 @@ def batch_images_interpolation_tool(
                             n_ins += 1
                 if not inserts:
                     break
-                lefts = np.stack([it[2] for it in inserts])
-                rights = np.stack([it[3] for it in inserts])
+                lefts = stack([it[2] for it in inserts])
+                rights = stack([it[3] for it in inserts])
                 mids = model(lefts, rights)
                 consumed_per_pair = {}
                 for (pi, j, _, _), m in zip(inserts, mids):
@@ -176,8 +193,8 @@ def batch_images_interpolation_tool(
             result = [seqs[0][0]]
             for seq in seqs:
                 result.extend(seq[1:])
-            out_clips.append(np.stack(result))
-        return np.stack(out_clips)
+            out_clips.append(stack(result))
+        return np.asarray(stack(out_clips))  # ONE download
 
     out_clips = []
     for bi in range(b):

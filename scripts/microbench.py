@@ -298,19 +298,39 @@ def bench_stage2_step(frames=16, res=512, batch=1):
         size="full", use_motion_module=True, dtype=jnp.bfloat16,
         gradient_checkpointing=True,
     )
-    modules = init_random_params(defs)
+    # HOST-side init (numpy, zero device residency): materialising f32
+    # params on device and THEN casting frozen->bf16 keeps both copies
+    # alive (~14 GB) before the step even starts.  Build the final state on
+    # host and device_put it ONCE.
+    from aniportrait_tpu.factory import init_abstract_params
+    from aniportrait_tpu.train.train_step import cast_frozen_to_bf16
+
+    modules = init_abstract_params(defs)
     params = {
         "reference": modules.reference_params,
         "denoising": modules.denoising_params,
         "pose_guider": modules.pose_guider_variables["params"],
     }
+    params = cast_frozen_to_bf16(params, stage=2)
     tx = make_optimizer(params, stage=2)
     step = make_train_step(defs, tx, defs["scheduler"], stage=2)
+    opt_state = jax.tree.map(
+        lambda sh: np.zeros(sh.shape, sh.dtype), jax.eval_shape(tx.init, params)
+    )
     state = TrainState(
         params, modules.pose_guider_variables["batch_stats"],
-        tx.init(params), jnp.zeros((), jnp.int32),
+        opt_state, np.zeros((), np.int32),
     )
-    frozen = (modules.vae_params, modules.clip_params)
+    frozen = jax.tree.map(
+        lambda x: np.asarray(x, jnp.bfloat16),
+        (modules.vae_params, modules.clip_params),
+    )
+    print("placing state on device (one-time ~10 GB upload)...", flush=True)
+    t0 = time.perf_counter()
+    state = jax.device_put(state)
+    frozen = jax.device_put(frozen)
+    jax.block_until_ready(jax.tree.leaves(state.params)[0])
+    print(f"placed in {time.perf_counter()-t0:.0f}s", flush=True)
     rs = np.random.RandomState(0)
     img = defs["clip"].image_size if hasattr(defs["clip"], "image_size") else 224
     batch_data = {

@@ -122,6 +122,16 @@ def main():
         vae_params = jax.tree.map(jnp.asarray, vae_params)
         clip_params = jax.tree.map(jnp.asarray, clip_params)
 
+    if compute_dtype == jnp.bfloat16:
+        from aniportrait_tpu.train.train_step import cast_frozen_to_bf16
+
+        # frozen modules stored bf16, trainable master weights f32 — the
+        # reference's fp16-frozen / fp32-trainable split under Accelerate
+        params = cast_frozen_to_bf16(params, stage=2)
+        vae_params, clip_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), (vae_params, clip_params)
+        )
+
     tx = make_optimizer(
         params,
         stage=2,
