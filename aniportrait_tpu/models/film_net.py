@@ -72,23 +72,39 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     wx = (x - x0)[..., None]
     y0 = y0.astype(jnp.int32)
     x0 = x0.astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
 
-    # ONE flattened gather for all 4 bilinear neighbours x batch: global
-    # row indices into (B*H*W, C).  A single big take lowers to one XLA
-    # gather instead of four batched ones (TPU gathers have high fixed
-    # cost; per-(batch, neighbour) take_along_axis calls were the -acc
-    # path's bottleneck).
-    flat = image.reshape(b * h * w, c)
-    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
-    i00 = base + y0 * w + x0
-    i01 = base + y0 * w + x1
-    i10 = base + y1 * w + x0
-    i11 = base + y1 * w + x1
-    idx = jnp.stack([i00, i01, i10, i11])  # (4, B, H, W)
-    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(4, b, h, w, c)
-    v00, v01, v10, v11 = vals[0], vals[1], vals[2], vals[3]
+    # ONE gather fetching the contiguous 2x2xC neighbourhood per output
+    # pixel (slice_sizes).  TPU gathers are index-descriptor-bound
+    # (~15-20 ns per index measured on v5e regardless of layout), so one
+    # windowed gather is ~4x cheaper than four per-neighbour gathers —
+    # in-net this was 69% of FiLM device time.  The window start is clamped
+    # to [0, dim-2] and the in-window offset (0 or 1) selected afterwards,
+    # which also realises the border clamp: at y0 == h-1 both bilinear rows
+    # read the last row (win row 1), exactly the old min(y0+1, h-1).
+    y0c = jnp.minimum(y0, h - 2)
+    x0c = jnp.minimum(x0, w - 2)
+    oy = (y0 - y0c) > 0  # (B, H, W) bool: y0 sits on win row 1
+    ox = (x0 - x0c) > 0
+    bidx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None, None], (b, h, w)
+    )
+    starts = jnp.stack([bidx, y0c, x0c], axis=-1).reshape(-1, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    win = jax.lax.gather(
+        image, starts, dn, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,  # starts clamped
+    ).reshape(b, h, w, 2, 2, c)
+    r0 = jnp.where(oy[..., None, None], win[:, :, :, 1], win[:, :, :, 0])
+    r1 = win[:, :, :, 1]  # row y0+1 (== y0 when clamped: weight-safe)
+    oxc = ox[..., None]
+    v00 = jnp.where(oxc, r0[:, :, :, 1], r0[:, :, :, 0])
+    v01 = r0[:, :, :, 1]
+    v10 = jnp.where(oxc, r1[:, :, :, 1], r1[:, :, :, 0])
+    v11 = r1[:, :, :, 1]
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return (top * (1 - wy) + bot * wy).astype(image.dtype)

@@ -144,7 +144,8 @@ def init_for_cli(weights_path: str | None) -> Callable:
 
 
 def batch_images_interpolation_tool(
-    video: np.ndarray, model: Callable, inter_frames: int = 1
+    video: np.ndarray, model: Callable, inter_frames: int = 1,
+    return_device: bool = False,
 ) -> np.ndarray:
     """video: (b, f, h, w, c) float.  Insert ``inter_frames`` frames between
     each adjacent pair by recursive binary subdivision (the reference's
@@ -152,7 +153,27 @@ def batch_images_interpolation_tool(
 
     When ``model.batched`` is set, each subdivision round runs ALL pairs of
     the clip in one call — per-pair dispatch latency dominates through the
-    remote-chip tunnel (~40 ms RTT each)."""
+    remote-chip tunnel (~40 ms RTT each).
+
+    ``video`` may also be a DEVICE uint8 array (the pipeline's
+    ``return_device=True`` output, with or without the leading clip axis):
+    the rounds then run fully device-resident and the result is fetched
+    ONCE as uint8 (f32 up+down transfers of the clip were ~4x the bytes and
+    dominated -acc wall clock through the remote-chip tunnel; interpolated
+    frames are uint8-quantised on return — the precision of the video file
+    they are written to)."""
+    device_in = not isinstance(video, np.ndarray)
+    if device_in and video.ndim == 4:
+        video = video[None]
+    if device_in and not (
+        getattr(model, "batched", False) and getattr(model, "device_io", False)
+    ):
+        # host-side model (e.g. the linear fallback): fetch once, keep the
+        # float [0,1] contract
+        video = np.asarray(video)
+        if video.dtype == np.uint8:
+            video = video.astype(np.float32) / 255.0
+        device_in = False
     b, f = video.shape[:2]
     if getattr(model, "batched", False):
         device_io = getattr(model, "device_io", False)
@@ -160,7 +181,10 @@ def batch_images_interpolation_tool(
             import jax.numpy as jnp
 
             stack = jnp.stack
-            video_in = jnp.asarray(video)  # ONE upload for the whole clip
+            if device_in:  # device uint8 in -> float [0,1] on device
+                video_in = video.astype(jnp.float32) / 255.0
+            else:
+                video_in = jnp.asarray(video)  # ONE upload for the whole clip
         else:
             stack = np.stack
             video_in = video
@@ -194,6 +218,15 @@ def batch_images_interpolation_tool(
             for seq in seqs:
                 result.extend(seq[1:])
             out_clips.append(stack(result))
+        if device_io and device_in:
+            import jax.numpy as jnp
+
+            u8 = jnp.round(
+                jnp.clip(stack(out_clips), 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+            if return_device:
+                return u8  # (b, f', h, w, c) uint8 ON DEVICE
+            return np.asarray(u8).astype(np.float32) / 255.0  # ONE u8 download
         return np.asarray(stack(out_clips))  # ONE download
 
     out_clips = []

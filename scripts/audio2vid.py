@@ -167,14 +167,20 @@ def main():
             ]
             video_length = len(pose_list)
 
+            # under -acc with a device-capable interpolator the clip stays
+            # on device between diffusion and FiLM (uint8 host round trips
+            # of the clip otherwise dominate on remote-attached chips)
+            on_device = args.accelerate and getattr(
+                frame_inter_model, "device_io", False
+            )
             video = pipe(
                 ref_rgb, pose_list, ref_pose, width, height, video_length,
-                args.steps, args.cfg, seed=args.seed,
+                args.steps, args.cfg, seed=args.seed, return_device=on_device,
             )
 
             if args.accelerate:
                 video = batch_images_interpolation_tool(
-                    video[None], frame_inter_model, inter_frames=args.fi_step - 1
+                    video, frame_inter_model, inter_frames=args.fi_step - 1
                 )[0]
 
             ref_row = np.repeat(

@@ -89,6 +89,9 @@ def main():
             ]
             video_length = len(pose_list)
 
+            on_device = args.accelerate and getattr(
+                frame_inter_model, "device_io", False
+            )
             video = pipe(
                 ref_rgb,
                 pose_list,
@@ -99,11 +102,12 @@ def main():
                 args.steps,
                 args.cfg,
                 seed=args.seed,
-            )  # (L, H, W, 3) in [0,1]
+                return_device=on_device,
+            )  # (L, H, W, 3) in [0,1] (device uint8 when on_device)
 
             if args.accelerate:
                 video = batch_images_interpolation_tool(
-                    video[None], frame_inter_model, inter_frames=args.fi_step - 1
+                    video, frame_inter_model, inter_frames=args.fi_step - 1
                 )[0]
 
             ref_row = np.repeat(

@@ -106,3 +106,41 @@ def test_batched_subdivision_matches_sequential():
         bat = batch_images_interpolation_tool(video, batched, k)
         assert seq.shape == bat.shape == (1, (5 - 1) * (k + 1) + 1, 8, 8, 3)
         np.testing.assert_allclose(seq, bat, atol=1e-7)
+
+
+def test_device_resident_uint8_path_matches_host_path():
+    """Device uint8 in -> rounds on device -> ONE uint8 fetch must equal the
+    host float path up to the uint8 quantisation of interpolated frames."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aniportrait_tpu.utils.frame_interpolation import (
+        batch_images_interpolation_tool,
+    )
+
+    rs = np.random.RandomState(1)
+    video_u8 = rs.randint(0, 256, (4, 8, 8, 3), np.uint8)
+    video_f = video_u8.astype(np.float32)[None] / 255.0
+
+    def batched(l, r):
+        return jnp.clip(0.5 * l + 0.5 * r, 0.0, 1.0)
+
+    batched.batched = True
+    batched.device_io = True
+
+    for k in (1, 2):
+        host = batch_images_interpolation_tool(video_f, batched, k)
+        dev = batch_images_interpolation_tool(jnp.asarray(video_u8), batched, k)
+        assert dev.shape == host.shape
+        # interpolated frames are uint8-quantised on the device path
+        np.testing.assert_allclose(dev, host, atol=0.5 / 255 + 1e-6)
+        # endpoints are bit-identical
+        np.testing.assert_array_equal(dev[:, ::k + 1], host[:, ::k + 1])
+        # return_device=True hands back the uint8 device array
+        dev_arr = batch_images_interpolation_tool(
+            jnp.asarray(video_u8), batched, k, return_device=True
+        )
+        assert dev_arr.dtype == jnp.uint8
+        np.testing.assert_allclose(
+            np.asarray(dev_arr[0]).astype(np.float32) / 255.0, dev[0], atol=1e-7
+        )
