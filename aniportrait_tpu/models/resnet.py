@@ -8,6 +8,7 @@ XLA folds away; tensors are ``(b, f, h, w, c)``.
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax.lax as lax
@@ -60,26 +61,34 @@ def group_norm(x, scale, bias, num_groups: int, epsilon: float = 1e-6):
 
     Statistics are computed in f32 (reduction accuracy); the normalisation
     itself runs in the INPUT dtype with the per-group f32 scalars folded to
-    a single multiply-add — profiling showed the previous
-    materialise-everything-in-f32 version was ~60 ms of a 640 ms full-size
-    UNet forward (pure HBM traffic)."""
+    a single multiply-add.  The stats pass reduces over the TOKEN axes only
+    (channel lanes preserved), then collapses the tiny (n, c) result to
+    per-group scalars: reducing a (n, tokens, g, c//g) view over (tokens,
+    c//g) straddles the 128-lane tile, and XLA relayouts the whole tensor to
+    do it — the trace showed ~2 s/clip of pure copy/relayout around these
+    stats before this two-stage formulation."""
     n, c = x.shape[0], x.shape[-1]
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(n, -1, g, c // g)
-    mean = xf.mean(axis=(1, 3), keepdims=True)   # (n, 1, g, 1) f32
-    var = xf.var(axis=(1, 3), keepdims=True)
+    token_axes = tuple(range(1, x.ndim - 1))
+    count = math.prod(x.shape[1:-1]) * (c // g)
+    xf = x.astype(jnp.float32)
+    s1 = jnp.sum(xf, axis=token_axes)             # (n, c) — lane-aligned
+    s2 = jnp.sum(jnp.square(xf), axis=token_axes)
+    s1g = s1.reshape(n, g, c // g).sum(axis=-1)   # (n, g) — tiny
+    s2g = s2.reshape(n, g, c // g).sum(axis=-1)
+    mean = s1g / count                            # (n, g) f32
+    var = jnp.maximum(s2g / count - jnp.square(mean), 0.0)
     inv = lax.rsqrt(var + epsilon)
     # fold (x - mean) * inv * scale + bias into x * a + b with per-channel
     # f32 coefficients; the normalisation is then ONE fused elementwise
     # pass over x (f32 arithmetic, bf16 in/out)
-    scale_g = scale.astype(jnp.float32).reshape(1, 1, g, c // g)
-    bias_g = bias.astype(jnp.float32).reshape(1, 1, g, c // g)
-    a = (inv * scale_g).reshape(n, 1, c)         # f32
-    b = (bias_g - mean * inv * scale_g).reshape(n, 1, c)
-    if x.ndim != 3:
-        shape = (n,) + (1,) * (x.ndim - 2) + (c,)
-        a, b = a.reshape(shape), b.reshape(shape)
-    return (x.astype(jnp.float32) * a + b).astype(x.dtype)
+    mean_c = jnp.repeat(mean, c // g, axis=-1)    # (n, c)
+    inv_c = jnp.repeat(inv, c // g, axis=-1)
+    a = inv_c * scale.astype(jnp.float32)[None]   # (n, c) f32
+    b = bias.astype(jnp.float32)[None] - mean_c * a
+    shape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    a, b = a.reshape(shape), b.reshape(shape)
+    return (xf * a + b).astype(x.dtype)
 
 
 class GroupNorm5D(nn.Module):

@@ -69,17 +69,17 @@ def small_seq_attention(
         from aniportrait_tpu.ops.pallas_attention import ssa_packed
 
         t = ((g * s + 127) // 128) * 128  # tile rows (128 unless s > 128)
-        dp = max(128, ((d + 127) // 128) * 128)
+        # NO lane padding of d (e.g. 40): Mosaic pads the last-dim tiles in
+        # VMEM transparently; padding in HBM tripled the q/k/v traffic
+        # (trace: 18x bf16[...,40]->[...,128] pads at ~20 ms/clip each)
 
         def tile_pad(x):
-            return jnp.pad(
-                x, ((0, 0), (0, t - g * s), (0, dp - d))
-            )
+            return jnp.pad(x, ((0, 0), (0, t - g * s), (0, 0)))
 
         out = ssa_packed(
             tile_pad(qp), tile_pad(kp), tile_pad(vp), s, g * s,
             not _on_accelerator(),
-        )[:, : g * s, :d]
+        )[:, : g * s, :]
     else:
         # static block-diagonal mask: row i attends col j iff same sequence
         blk = jnp.arange(g * s) // s
