@@ -505,8 +505,8 @@ def flash_attention(
     v: jnp.ndarray,
     drop_tail: jnp.ndarray | None = None,
     kv_split: int | None = None,
-    block_q: int = 512,
-    block_kv: int = 1024,
+    block_q: int = 1024,
+    block_kv: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Blocked flash attention over (B, Sq, H, D); K/V (B, Skv, H, D).
