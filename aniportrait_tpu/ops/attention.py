@@ -46,14 +46,43 @@ def small_seq_attention(
     q/k/v: (B, S, H, D) with q==k==v sequence length.  Returns (B, S, H, D).
     """
     b, s, h, d = q.shape
+    c = h * d
     scale = jnp.asarray(d ** -0.5, q.dtype)
+    g = max(1, 128 // s)  # sequences per 128-row tile
+
+    use_pallas = impl == "pallas" or (impl == "auto" and _on_accelerator())
+    if use_pallas:
+        # Contiguous-sequence packing: tiles are a plain reshape of the
+        # (B, S, C) token tensor (the inverse of the caller's head reshape,
+        # so the whole pack is transpose-free in HBM); heads are attended
+        # independently inside the kernel.  The old head-fold pack spent
+        # ~4 x 0.8 ms of pure HBM transpose copies per 64x64 attention call.
+        from aniportrait_tpu.ops.pallas_attention import ctg_packed
+
+        qs = (q * scale).reshape(b, s, c)
+        ks = k.reshape(b, s, c)
+        vs = v.reshape(b, s, c)
+        pad_b = (-b) % g
+        if pad_b:  # dead sequences attend among themselves; sliced away
+            qs = jnp.pad(qs, ((0, pad_b), (0, 0), (0, 0)))
+            ks = jnp.pad(ks, ((0, pad_b), (0, 0), (0, 0)))
+            vs = jnp.pad(vs, ((0, pad_b), (0, 0), (0, 0)))
+        n = qs.shape[0] // g
+        out = ctg_packed(
+            qs.reshape(n, g * s, c),
+            ks.reshape(n, g * s, c),
+            vs.reshape(n, g * s, c),
+            s, h, not _on_accelerator(),
+        )
+        return (
+            out.reshape(n * g, s, c)[:b].astype(q.dtype).reshape(b, s, h, d)
+        )
 
     def fold(x):  # (B, S, H, D) -> (B*H, S, D)
         return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
 
     qf, kf, vf = fold(q) * scale, fold(k), fold(v)
     rows = b * h
-    g = max(1, 128 // s)  # sequences per 128-row tile
     pad = (-rows) % g
     if pad:
         qf = jnp.pad(qf, ((0, pad), (0, 0), (0, 0)))
@@ -63,38 +92,20 @@ def small_seq_attention(
     qp = qf.reshape(n, g * s, d)
     kp = kf.reshape(n, g * s, d)
     vp = vf.reshape(n, g * s, d)
-
-    use_pallas = impl == "pallas" or (impl == "auto" and _on_accelerator())
-    if use_pallas:
-        from aniportrait_tpu.ops.pallas_attention import ssa_packed
-
-        t = ((g * s + 127) // 128) * 128  # tile rows (128 unless s > 128)
-        # NO lane padding of d (e.g. 40): Mosaic pads the last-dim tiles in
-        # VMEM transparently; padding in HBM tripled the q/k/v traffic
-        # (trace: 18x bf16[...,40]->[...,128] pads at ~20 ms/clip each)
-
-        def tile_pad(x):
-            return jnp.pad(x, ((0, 0), (0, t - g * s), (0, 0)))
-
-        out = ssa_packed(
-            tile_pad(qp), tile_pad(kp), tile_pad(vp), s, g * s,
-            not _on_accelerator(),
-        )[:, : g * s, :]
-    else:
-        # static block-diagonal mask: row i attends col j iff same sequence
-        blk = jnp.arange(g * s) // s
-        mask = jnp.where(blk[:, None] == blk[None, :], 0.0, -1e9).astype(
-            jnp.float32
-        )
-        logits = jax.lax.dot_general(
-            qp, kp, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (n, g*s, g*s)
-        probs = jax.nn.softmax(logits + mask, axis=-1).astype(v.dtype)
-        out = jax.lax.dot_general(
-            probs, vp, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(q.dtype)  # (n, g*s, d)
+    # static block-diagonal mask: row i attends col j iff same sequence
+    blk = jnp.arange(g * s) // s
+    mask = jnp.where(blk[:, None] == blk[None, :], 0.0, -1e9).astype(
+        jnp.float32
+    )
+    logits = jax.lax.dot_general(
+        qp, kp, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (n, g*s, g*s)
+    probs = jax.nn.softmax(logits + mask, axis=-1).astype(v.dtype)
+    out = jax.lax.dot_general(
+        probs, vp, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)  # (n, g*s, d)
 
     out = out.reshape(n * g, s, d)[:rows].astype(q.dtype)
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)

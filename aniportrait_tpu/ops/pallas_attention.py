@@ -624,6 +624,125 @@ def small_seq_attention_pallas(qp, kp, vp, seq: int, n_valid_rows: int = None,
     return out[:n]
 
 
+def _ctg_kernel(s, heads, d, q_ref, k_ref, v_ref, o_ref):
+    """Contiguous-sequence packed temporal attention tile.
+
+    Each (t, c) tile holds g = t // s COMPLETE sequences with their frames
+    contiguous — i.e. the tiles are a plain reshape of the (B, S, C) token
+    tensor, NO (B, S, H, D) -> (B, H, S, D) head-fold transpose in HBM
+    (those transposes were ~4 x 0.8 ms of pure copy per attention call in
+    the trace).  Heads live in the lane axis (c = heads * d) and are
+    attended independently via in-kernel lane slices; q is pre-scaled."""
+    q = q_ref[:]  # (nb, t, c)
+    k = k_ref[:]
+    v = v_ref[:]
+    nb, t, c = q.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    same = (rows // s) == (cols // s)  # block-diagonal: frames contiguous
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (nb, t, t)
+        logits = jnp.where(same[None], logits, -1e9)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("seq", "heads", "interpret")
+)
+def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
+                             interpret: bool = False):
+    """Packed tiles (n, T, C) of CONTIGUOUS sequences of length ``seq``
+    (pre-scaled q); C = heads * d.  Returns (n, T, C)."""
+    n, t, c = qp.shape
+    d = c // heads
+    # tiles per grid step: enough to amortise DMA issue, capped so the
+    # 4 x (nb, t, c) buffers + per-head logits stay within scoped VMEM
+    nb = max(1, (8 * 320) // c)
+    pad_n = (-n) % nb
+    if pad_n:
+        qp = jnp.pad(qp, ((0, pad_n), (0, 0), (0, 0)))
+        kp = jnp.pad(kp, ((0, pad_n), (0, 0), (0, 0)))
+        vp = jnp.pad(vp, ((0, pad_n), (0, 0), (0, 0)))
+    n_p = qp.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_ctg_kernel, seq, heads, d),
+        grid=(n_p // nb,),
+        in_specs=[
+            pl.BlockSpec((nb, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nb, t, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, t, c), qp.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:n]
+
+
+def _ctg_xla_core(seq, heads, qp, kp, vp):
+    """XLA reference of the contiguous-pack kernel math — used for the
+    custom-VJP backward and CPU tests."""
+    n, t, c = qp.shape
+    d = c // heads
+
+    def split(x):  # (n, t, c) -> (n, h, t, d)
+        return x.reshape(n, t, heads, d).transpose(0, 2, 1, 3)
+
+    q, k, v = split(qp), split(kp), split(vp)
+    r = jnp.arange(t)
+    same = (r[:, None] // seq) == (r[None, :] // seq)
+    logits = jnp.einsum(
+        "nhtd,nhsd->nhts", q, k, preferred_element_type=jnp.float32
+    )
+    logits = jnp.where(same[None, None], logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("nhts,nhsd->nhtd", probs, v)
+    return out.transpose(0, 2, 1, 3).reshape(n, t, c).astype(qp.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ctg_packed(qp, kp, vp, seq, heads, interpret):
+    """Differentiable contiguous-pack temporal attention: Pallas forward,
+    backward via the XLA core's VJP (recompute; only paid when training)."""
+    return ctg_seq_attention_pallas(
+        qp, kp, vp, seq=seq, heads=heads, interpret=interpret
+    )
+
+
+def _ctg_fwd(qp, kp, vp, seq, heads, interpret):
+    out = ctg_packed(qp, kp, vp, seq, heads, interpret)
+    return out, (qp, kp, vp)
+
+
+def _ctg_bwd(seq, heads, interpret, res, g):
+    qp, kp, vp = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _ctg_xla_core(seq, heads, a, b, c), qp, kp, vp
+    )
+    return vjp(g)
+
+
+ctg_packed.defvjp(_ctg_fwd, _ctg_bwd)
+
+
 def _ssa_xla_core(seq, nv, qp, kp, vp):
     """XLA reference of the packed-tile kernel math (same masks, same
     shapes) — used for the custom-VJP backward and CPU tests."""
