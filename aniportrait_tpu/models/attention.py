@@ -26,7 +26,10 @@ from typing import Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from aniportrait_tpu.ops.attention import scaled_dot_product_attention
+from aniportrait_tpu.ops.attention import (
+    scaled_dot_product_attention,
+    temporal_attention_4d,
+)
 
 NEG_INF = -1e9
 
@@ -73,6 +76,13 @@ class CrossAttention(nn.Module):
         to_v = nn.Dense(inner, use_bias=self.use_bias, dtype=self.dtype, name="to_v")
         k = to_k(context)
         v = to_v(context)
+        if x.ndim == 4:
+            # (b, f, s, c) natural-layout temporal self-attention (motion
+            # module): sequences along the frame axis per spatial position
+            out = temporal_attention_4d(q, k, v, self.heads)
+            return nn.Dense(
+                inner, use_bias=True, dtype=self.dtype, name="to_out_0"
+            )(out)
         if extra_kv is not None:
             ke = jnp.repeat(to_k(extra_kv), extra_repeat, axis=0)
             ve = jnp.repeat(to_v(extra_kv), extra_repeat, axis=0)

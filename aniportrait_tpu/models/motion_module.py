@@ -31,14 +31,16 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """x: (B*H*W, F, C) temporal tokens."""
+        """x: (B, F, S, C) temporal activations in natural layout (the
+        frame axis stays where the UNet produces it; attention runs across
+        F per spatial position S via the natural-layout kernel)."""
         f = x.shape[1]
         pe = jnp.asarray(
             sinusoidal_positional_encoding(self.pe_max_len, self.dim)[:, :f]
-        )
+        )  # (1, f, c)
         for i in range(self.num_attention_blocks):
             h = _ln(f"norm_{i}")(x).astype(self.dtype)
-            h = h + pe.astype(self.dtype)  # PE applied to normed input
+            h = h + pe[:, :, None, :].astype(self.dtype)  # PE on normed input
             x = x + CrossAttention(
                 self.dim,
                 self.heads,
@@ -78,8 +80,10 @@ class MotionModule(nn.Module):
             group_norm(fold_frames(x), scale, bias, self.norm_groups, 1e-6), f
         )
 
-        # (b, f, h, w, c) -> (b*h*w, f, c) temporal tokens
-        hid = hid.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        # (b, f, h, w, c) -> (b, f, h*w, c): natural layout preserved — the
+        # temporal attention kernel reads frames-major blocks directly, so
+        # no (b,f,s,c) -> (b*s,f,c) transpose is ever materialised
+        hid = hid.reshape(b, f, h * w, c)
         hid = nn.Dense(c, dtype=self.dtype, name="proj_in")(hid)
 
         for i in range(self.num_transformer_blocks):
@@ -95,5 +99,4 @@ class MotionModule(nn.Module):
         hid = nn.Dense(
             c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"
         )(hid)
-        hid = hid.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        return residual + hid
+        return residual + hid.reshape(b, f, h, w, c)

@@ -115,6 +115,38 @@ def _on_accelerator() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def temporal_attention_4d(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, heads: int
+) -> jnp.ndarray:
+    """Temporal self-attention over (b, f, s, c) activations in NATURAL
+    layout — sequences run along the frame axis per spatial position, and
+    on TPU the kernel reads the activation exactly as the surrounding
+    convs/Dense layers produce it (no (b,f,s,c)->(b*s,f,c) transpose; that
+    transpose was materialised once per consumer, ~0.5 s/clip of copies).
+    """
+    b, f, s, c = q.shape
+    d = c // heads
+    P = 128 // f if 2 <= f <= 128 and 128 % f == 0 else 0
+    if P and s % P == 0 and _on_accelerator():
+        from aniportrait_tpu.ops.pallas_attention import nat_packed
+
+        scale = jnp.asarray(d ** -0.5, q.dtype)
+        out = nat_packed(
+            (q * scale).reshape(b * f, s, c),
+            k.reshape(b * f, s, c),
+            v.reshape(b * f, s, c),
+            f, heads, False,
+        )
+        return out.reshape(b, f, s, c)
+    # fallback (CPU tests, odd frame counts): token layout through the
+    # generic dispatch
+    def tok(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * s, f, heads, d)
+
+    out = scaled_dot_product_attention(tok(q), tok(k), tok(v))
+    return out.reshape(b, s, f, c).transpose(0, 2, 1, 3)
+
+
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -697,6 +697,136 @@ def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
     return out[:n]
 
 
+def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
+    """Natural-layout temporal attention tile.
+
+    Block (f, nb*P, c) cut straight from the (b*f, s, c) activation — the
+    frame axis is the block's MAJOR axis, so NO HBM transpose ever happens
+    (the old path materialised the (b,f,s,c)->(b*s,f,c) transpose once per
+    consumer, ~0.5 ms x 10 per step in the trace).  In VMEM the block is
+    regrouped to (nb, f*P, c) rows where row r = fi*P + pi; a sequence is a
+    fixed position pi, so rows attend iff (r % P) == (r' % P) — an
+    interleaved block-diagonal mask.  Heads live in the lane axis and are
+    attended independently per in-kernel lane slice; q is pre-scaled."""
+    t = f * P
+
+    def rows(ref):
+        x = ref[:]  # (f, nb*P, c)
+        x = x.reshape(f, nb, P, ref.shape[-1])
+        return x.transpose(1, 0, 2, 3).reshape(nb, t, ref.shape[-1])
+
+    q = rows(q_ref)
+    k = rows(k_ref)
+    v = rows(v_ref)
+    i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    same = (i % P) == (j % P)
+    outs = []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits = jnp.where(same[None], logits, -1e9)
+        m = jnp.max(logits, axis=2, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=2, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    out = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)  # (nb, t, c)
+    c = o_ref.shape[-1]
+    o_ref[:] = (
+        out.reshape(nb, f, P, c).transpose(1, 0, 2, 3).reshape(f, nb * P, c)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("frames", "heads", "interpret"))
+def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
+                                  interpret: bool = False):
+    """Temporal attention over (b*f, s, c) activations in natural layout
+    (pre-scaled q).  Requires 128 % frames == 0 and s % (P*nb) == 0 with
+    P = 128 // frames; the caller gates on that."""
+    bf, s, c = qbf.shape
+    b = bf // frames
+    d = c // heads
+    P = 128 // frames
+    nb = max(1, (8 * 320) // c)
+    while s % (P * nb):
+        nb //= 2
+    out = pl.pallas_call(
+        functools.partial(_nat_kernel, frames, P, nb, heads, d),
+        grid=(b, s // (P * nb)),
+        in_specs=[
+            pl.BlockSpec((frames, nb * P, c), lambda bi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((frames, nb * P, c), lambda bi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((frames, nb * P, c), lambda bi, ci: (bi, ci, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((frames, nb * P, c), lambda bi, ci: (bi, ci, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bf, s, c), qbf.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(qbf, kbf, vbf)
+    return out
+
+
+def _nat_xla_core(frames, heads, qbf, kbf, vbf):
+    """XLA reference of the natural-layout kernel math — custom-VJP
+    backward and CPU tests."""
+    bf, s, c = qbf.shape
+    b = bf // frames
+    d = c // heads
+
+    def split(x):  # (b*f, s, c) -> (b, s, h, f, d): seqs along f per (s, h)
+        x = x.reshape(b, frames, s, heads, d)
+        return x.transpose(0, 2, 3, 1, 4)
+
+    q, k, v = split(qbf), split(kbf), split(vbf)
+    logits = jnp.einsum(
+        "bshfd,bshgd->bshfg", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bshfg,bshgd->bshfd", probs, v)
+    return (
+        out.transpose(0, 3, 1, 2, 4).reshape(bf, s, c).astype(qbf.dtype)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def nat_packed(qbf, kbf, vbf, frames, heads, interpret):
+    """Differentiable natural-layout temporal attention: Pallas forward,
+    backward via the XLA core's VJP (recompute; only paid when training)."""
+    return nat_temporal_attention_pallas(
+        qbf, kbf, vbf, frames=frames, heads=heads, interpret=interpret
+    )
+
+
+def _nat_fwd(qbf, kbf, vbf, frames, heads, interpret):
+    out = nat_packed(qbf, kbf, vbf, frames, heads, interpret)
+    return out, (qbf, kbf, vbf)
+
+
+def _nat_bwd(frames, heads, interpret, res, g):
+    qbf, kbf, vbf = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _nat_xla_core(frames, heads, a, b, c), qbf, kbf, vbf
+    )
+    return vjp(g)
+
+
+nat_packed.defvjp(_nat_fwd, _nat_bwd)
+
+
 def _ctg_xla_core(seq, heads, qp, kp, vp):
     """XLA reference of the contiguous-pack kernel math — used for the
     custom-VJP backward and CPU tests."""

@@ -138,3 +138,66 @@ def test_small_seq_pallas_matches_xla(b, s, h, d):
     for a, r in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4,
                                    rtol=1e-3)
+
+
+@pytest.mark.parametrize("b,f,s,c,heads", [(2, 16, 64, 320, 8), (2, 8, 48, 640, 8)])
+def test_natural_temporal_pallas_matches_xla(b, f, s, c, heads):
+    """Natural-layout temporal kernel (interpret mode) == XLA core math ==
+    the token-layout fallback; custom-VJP gradients == XLA autodiff."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.ops.attention import (
+        scaled_dot_product_attention,
+        temporal_attention_4d,
+    )
+    from aniportrait_tpu.ops.pallas_attention import (
+        _nat_xla_core,
+        nat_packed,
+        nat_temporal_attention_pallas,
+    )
+
+    d = c // heads
+    rs = np.random.RandomState(2)
+    q = jnp.asarray(rs.randn(b, f, s, c).astype(np.float32))
+    k = jnp.asarray(rs.randn(b, f, s, c).astype(np.float32))
+    v = jnp.asarray(rs.randn(b, f, s, c).astype(np.float32))
+
+    scale = d ** -0.5
+    qs = (q * scale).reshape(b * f, s, c)
+    kf = k.reshape(b * f, s, c)
+    vf = v.reshape(b * f, s, c)
+
+    got = nat_temporal_attention_pallas(qs, kf, vf, frames=f, heads=heads,
+                                        interpret=True)
+    ref = _nat_xla_core(f, heads, qs, kf, vf)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+    # the XLA core must itself equal the generic token-layout attention
+    def tok(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * s, f, heads, d)
+
+    ref2 = scaled_dot_product_attention(tok(q), tok(k), tok(v), impl="naive")
+    ref2 = ref2.reshape(b, s, f, c).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(
+        np.asarray(ref.reshape(b, f, s, c)), np.asarray(ref2), atol=2e-5,
+        rtol=1e-4,
+    )
+
+    # dispatch-level fallback agrees too
+    disp = temporal_attention_4d(q, k, v, heads)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(ref2), atol=2e-5,
+                               rtol=1e-4)
+
+    def loss_p(a, bb, cc):
+        return jnp.sum(nat_packed(a, bb, cc, f, heads, True) ** 2)
+
+    def loss_x(a, bb, cc):
+        return jnp.sum(_nat_xla_core(f, heads, a, bb, cc) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(qs, kf, vf)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(qs, kf, vf)
+    for a, r in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4,
+                                   rtol=1e-3)
