@@ -15,7 +15,10 @@ import jax
 import jax.numpy as jnp
 
 
-FLASH_MIN_LOGITS = 1 << 21  # sq * skv above which logits must not hit HBM
+# sq * skv above which the flash kernel beats XLA's materialised-logits
+# attention (measured on v5e: 1024q/1024kv XLA 1.54 ms vs flash 0.51 ms;
+# 256q/512kv XLA wins) — also the level above which logits must not hit HBM
+FLASH_MIN_LOGITS = 1 << 20
 SMALL_SEQ_MAX = 32  # seq length at/below which the packed small-seq path wins
 SMALL_SEQ_MIN_ROWS = 1024  # batch*heads needed to amortise the packing
 

@@ -51,7 +51,7 @@ def _mask_block(logits, ki, block_kv, skv, kv_split, drop):
 
 
 def _fwd_kernel(
-    scale, block_kv, skv, kv_split, n_kv, want_lse,
+    scale, block_kv, skv, kv_split, n_kv, want_lse, need_mask,
     q_ref, k_ref, v_ref, drop_ref,
     o_ref, lse_ref,
     acc_ref, m_ref, l_ref,
@@ -71,8 +71,9 @@ def _fwd_kernel(
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bkv) f32
-    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
-                         drop_ref[pl.program_id(0), 0])
+    if need_mask:  # static; see _fwd_kernel_nopad
+        logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                             drop_ref[pl.program_id(0), 0])
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     l_prev = l_ref[:, :1]
@@ -105,7 +106,7 @@ def _fwd_kernel(
 
 
 def _dq_kernel(
-    scale, block_kv, skv, kv_split, n_kv,
+    scale, block_kv, skv, kv_split, n_kv, need_mask,
     q_ref, k_ref, v_ref, drop_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc_ref,
@@ -126,8 +127,9 @@ def _dq_kernel(
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
-                         drop_ref[pl.program_id(0), 0])
+    if need_mask:  # static; see _fwd_kernel_nopad
+        logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                             drop_ref[pl.program_id(0), 0])
     p = jnp.exp(logits - lse)  # (bq, bkv) — masked cols are exactly 0
 
     dp = jax.lax.dot_general(
@@ -145,7 +147,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    scale, block_kv, block_q, skv, sq, kv_split, n_q,
+    scale, block_kv, block_q, skv, sq, kv_split, n_q, need_mask, need_qmask,
     q_ref, k_ref, v_ref, drop_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc_ref, dv_acc_ref,
@@ -168,11 +170,13 @@ def _dkv_kernel(
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bkv)
-    logits = _mask_block(logits, ki, block_kv, skv, kv_split,
-                         drop_ref[pl.program_id(0), 0])
-    # q-padding rows have lse == log(safe)=0 with p = exp(NEG_INF) = 0: harmless
-    rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-    logits = jnp.where(rows < sq, logits, NEG_INF)
+    if need_mask:  # static; see _fwd_kernel_nopad
+        logits = _mask_block(logits, ki, block_kv, skv, kv_split,
+                             drop_ref[pl.program_id(0), 0])
+    if need_qmask:
+        # q-padding rows have lse == log(safe)=0, p = exp(NEG_INF) = 0: harmless
+        rows = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        logits = jnp.where(rows < sq, logits, NEG_INF)
     p = jnp.exp(logits - lse)
 
     dv_acc_ref[:] += jax.lax.dot_general(
@@ -220,7 +224,7 @@ def _plan(sq, skv, d, block_q, block_kv):
 
 
 def _fwd_kernel_nopad(
-    scale, block_kv, skv, kv_split, n_kv, n_heads,
+    scale, block_kv, skv, kv_split, n_kv, need_mask,
     q_ref, k_ref, v_ref, drop_ref,
     o_ref,
     acc_ref, m_ref, l_ref,
@@ -230,7 +234,13 @@ def _fwd_kernel_nopad(
     padded kernel costing more than the convolutions; the fold transpose
     itself is cheap).  Mosaic pads the D-lane tiles in VMEM transparently.
     Constraint honored: a block's last dim equals the array's (D), and the
-    second-to-last (bq/bkv) is 8-divisible."""
+    second-to-last (bq/bkv) is 8-divisible.
+
+    ``need_mask`` is STATIC: when the KV length is block-aligned and there
+    is no bank split, the per-block iota/compare/select mask is skipped
+    entirely — at head_dim 40 the kernel is VPU-bound (the MXU passes pad
+    K 40->128 regardless), so ~4 vector ops per logit are a measurable
+    fraction of the whole call."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -246,9 +256,10 @@ def _fwd_kernel_nopad(
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bkv) f32
-    logits = _mask_block(
-        logits, ki, block_kv, skv, kv_split, drop_ref[pl.program_id(0), 0]
-    )
+    if need_mask:
+        logits = _mask_block(
+            logits, ki, block_kv, skv, kv_split, drop_ref[pl.program_id(0), 0]
+        )
 
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
@@ -292,8 +303,9 @@ def _flash_nopad(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
     rows = b * h
     drop = jnp.repeat(drop_rows.astype(jnp.int32), h)[:, None]  # (rows, 1)
 
+    need_mask = kv_split is not None or skv_p != skv
     kernel = functools.partial(
-        _fwd_kernel_nopad, scale, bkv, skv, kv_split, n_kv, h
+        _fwd_kernel_nopad, scale, bkv, skv, kv_split, n_kv, need_mask
     )
     out = pl.pallas_call(
         kernel,
@@ -350,7 +362,8 @@ def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
     drop = jnp.repeat(drop_rows.astype(jnp.int32), h)[:, None]  # (rows, 1)
 
     kernel = functools.partial(
-        _fwd_kernel, scale, bkv, skv, kv_split, n_kv, want_lse
+        _fwd_kernel, scale, bkv, skv, kv_split, n_kv, want_lse,
+        kv_split is not None or skv_p != skv,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -417,8 +430,10 @@ def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
     )
     delta = jnp.broadcast_to(delta, (rows, sq_p, 128))
 
+    need_mask = kv_split is not None or skv_p != skv
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale, bkv, skv, kv_split, n_kv),
+        functools.partial(_dq_kernel, scale, bkv, skv, kv_split, n_kv,
+                          need_mask),
         grid=(rows, n_q, n_kv),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda r, qi, ki: (r, qi, 0),
@@ -447,7 +462,8 @@ def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
     )(qf, kf, vf, drop, dof, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale, bkv, bq, skv, sq, kv_split, n_q),
+        functools.partial(_dkv_kernel, scale, bkv, bq, skv, sq, kv_split, n_q,
+                          need_mask, sq_p != sq),
         grid=(rows, n_kv, n_q),
         in_specs=[
             pl.BlockSpec((1, bq, dp), lambda r, ki, qi: (r, qi, 0),

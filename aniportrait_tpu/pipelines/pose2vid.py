@@ -232,6 +232,15 @@ class Pose2VideoPipeline:
             return ctx, banks_t
 
         k_cache = max(1, self.encoder_cache_interval)
+        # whole-clip case (L <= context window, e.g. the 16-frame driver
+        # config): one window covering frames 0..L-1 — skip the
+        # gather/scatter-add/counter machinery entirely (the iota gather and
+        # scatter-add are pure copies XLA does not always elide)
+        single = (
+            self.mesh is None
+            and windows.shape[0] == 1
+            and int(win_len) == int(video_length)
+        )
 
         def _window_inputs(latents, pose_fea, win):
             """Gather + CFG-double the per-window UNet inputs."""
@@ -292,9 +301,80 @@ class Pose2VideoPipeline:
             )
             return pred, enc  # (b, win_len, h, w, 4), cache pytree
 
+        def _one_step_single(den_params, latents, t, step_i, ctx_t, banks_t,
+                             pose_fea, cache):
+            """Whole-clip denoise step: latents (1, L, h, w, 4) go through
+            the UNet directly (CFG-doubled), no window indexing."""
+            lat = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+            pose_w = [
+                jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf
+                for pf in pose_fea
+            ]
+            if k_cache > 1:
+                refresh = (step_i % k_cache) == 0
+                enc = jax.lax.cond(
+                    refresh,
+                    lambda: _unet_apply(
+                        den_params, lat, t, ctx_t, banks_t, pose_w, mode="encode"
+                    ),
+                    lambda: cache,
+                )
+                pred = _unet_apply(
+                    den_params, lat, t, ctx_t, banks_t, pose_w,
+                    mode="decode", enc_features=enc,
+                )
+            else:
+                enc = None
+                pred = _unet_apply(den_params, lat, t, ctx_t, banks_t, pose_w)
+            pred = pred.astype(jnp.float32)
+            if do_cfg:
+                pu, pc = jnp.split(pred, 2, axis=0)
+                pred = pu + guidance_scale * (pc - pu)
+            new_latents = sched.step(pred, t, latents, num_inference_steps=steps)
+            return new_latents, enc
+
         def sample_impl(den_params, latents, ctx_cfg, banks, pose_fea):
             n_rows = (2 if do_cfg else 1) * wb
             ctx_t, banks_t = tile_cfg(ctx_cfg, banks, n_rows)
+
+            if single:
+                if k_cache > 1:
+                    pose_w0 = [
+                        jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf
+                        for pf in pose_fea
+                    ]
+                    lat0 = (
+                        jnp.concatenate([latents] * 2, axis=0)
+                        if do_cfg
+                        else latents
+                    )
+                    enc_shapes = jax.eval_shape(
+                        lambda p, l: _unet_apply(
+                            p, l, timesteps[0], ctx_t, banks_t, pose_w0,
+                            mode="encode",
+                        ),
+                        den_params, lat0,
+                    )
+                    cache0 = jax.tree.map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), enc_shapes
+                    )
+                else:
+                    cache0 = None
+
+                def step1(carry, t_and_i):
+                    t, i = t_and_i
+                    latents, cache = carry
+                    new_lat, new_cache = _one_step_single(
+                        den_params, latents, t, i, ctx_t, banks_t, pose_fea,
+                        cache,
+                    )
+                    return (new_lat, new_cache), None
+
+                (latents, _), _ = jax.lax.scan(
+                    step1, (latents, cache0),
+                    (timesteps, jnp.arange(len(timesteps))),
+                )
+                return latents
 
             if k_cache > 1:
                 # per-window-batch encoder cache, zeros until first refresh
