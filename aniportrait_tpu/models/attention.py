@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from aniportrait_tpu.ops.attention import (
+    FLASH_MIN_LOGITS,
+    _on_accelerator,
     scaled_dot_product_attention,
     temporal_attention_4d,
 )
@@ -90,6 +92,25 @@ class CrossAttention(nn.Module):
                 kv_split = k.shape[1]
             k = jnp.concatenate([k, ke], axis=1)
             v = jnp.concatenate([v, ve], axis=1)
+        if (
+            mask_bias is None
+            and kv_split is None
+            and drop_tail is None
+            and q.shape[1] * k.shape[1] >= FLASH_MIN_LOGITS
+            and self.dim_head <= 256
+            and inner <= 640  # wider channels exceed the 16M VMEM budget
+            and _on_accelerator()
+        ):
+            # token-layout flash kernel: blocks cut straight from the (B, S,
+            # C) projections, heads sliced in-kernel — avoids the (B, S, H,
+            # D) head-fold transpose copies in HBM (~11 ms/step in the
+            # trace); bit-exact vs the folded kernel
+            from aniportrait_tpu.ops.pallas_attention import tok_flash
+
+            out = tok_flash(q, k, v, self.heads)
+            return nn.Dense(
+                inner, use_bias=True, dtype=self.dtype, name="to_out_0"
+            )(out)
         b, sq = q.shape[0], q.shape[1]
         skv = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.dim_head)

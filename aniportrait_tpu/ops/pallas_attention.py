@@ -571,6 +571,162 @@ def ref_flash_attention(
     )
 
 
+# ------------------------------------------------------- tokens-layout flash
+def _tok_fwd_kernel(
+    scale, block_kv, skv, n_kv, heads, d, need_mask,
+    q_ref, k_ref, v_ref,
+    o_ref,
+    acc_ref, m_ref, l_ref,
+):
+    """Flash forward over TOKEN-layout blocks (bq, C)/(bkv, C), C = heads*d.
+
+    The head-folded kernel needs q/k/v materialised as (B*H, S, D) in HBM —
+    XLA emits ~0.3-0.6 ms of pure transpose copy per tensor per call at the
+    64x64 shapes (trace: `copy.5585` et al., ~11 ms/step).  Here the blocks
+    are cut straight from the (B, S, C) activations the Dense projections
+    produce, and heads are attended sequentially via in-kernel lane slices
+    (the pattern proven by the ctg/nat temporal kernels).  m/l running
+    stats live one lane-column per head."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, C)
+    k = k_ref[0]  # (bkv, C)
+    v = v_ref[0]
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bkv) f32
+        if need_mask:
+            cols = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(cols < skv, logits, NEG_INF)
+
+        m_prev = m_ref[:, h : h + 1]  # (bq, 1)
+        l_prev = l_ref[:, h : h + 1]
+        m_cur = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_ref[:, h : h + 1] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, h : h + 1] = m_new
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = []
+        for h in range(heads):
+            l = l_ref[:, h : h + 1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "block_q", "block_kv", "interpret")
+)
+def flash_attention_tokens(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    heads: int,
+    block_q: int = 1024,
+    block_kv: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention over token-layout (B, Sq, C) tensors, C = heads*d.
+    Inference forward only (no VJP) — no bank-drop semantics, q unscaled."""
+    b, sq, c = q.shape
+    skv = k.shape[1]
+    d = c // heads
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+    qp = _pad_to(q, sq_p, 1)
+    kp = _pad_to(k, skv_p, 1)
+    vp = _pad_to(v, skv_p, 1)
+
+    kernel = functools.partial(
+        _tok_fwd_kernel, scale, bkv, skv, n_kv, heads, d, skv_p != skv
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
+    """Differentiable token-layout flash attention: Pallas tokens forward,
+    backward via the head-folded flash VJP (recompute; training only)."""
+    return flash_attention_tokens(
+        q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+        interpret=interpret,
+    )
+
+
+def _tok_flash_fwd(q, k, v, heads, block_q, block_kv, interpret):
+    return tok_flash(q, k, v, heads, block_q, block_kv, interpret), (q, k, v)
+
+
+def _tok_flash_bwd(heads, block_q, block_kv, interpret, res, g):
+    q, k, v = res
+
+    def f(q, k, v):
+        b, s, c = q.shape
+        skv = k.shape[1]
+        d = c // heads
+        out = _flash(
+            q.reshape(b, s, heads, d),
+            k.reshape(b, skv, heads, d),
+            v.reshape(b, skv, heads, d),
+            jnp.zeros((b,), jnp.int32), None, block_q, block_kv, interpret,
+        )
+        return out.reshape(b, s, c)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+tok_flash.defvjp(_tok_flash_fwd, _tok_flash_bwd)
+
+
 # ---------------------------------------------------------- small-seq packed
 def _small_seq_kernel(s, n_valid_rows, q_ref, k_ref, v_ref, o_ref):
     """``nb`` 128-row tiles of packed sequences: block-diagonal attention.

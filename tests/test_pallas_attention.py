@@ -201,3 +201,52 @@ def test_natural_temporal_pallas_matches_xla(b, f, s, c, heads):
     for a, r in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-4,
                                    rtol=1e-3)
+
+
+def test_tokens_flash_matches_xla():
+    """Token-layout kernel (heads sliced in-kernel from the channel axis)
+    vs plain attention, incl. uneven KV length (tail mask)."""
+    from aniportrait_tpu.ops.pallas_attention import flash_attention_tokens
+
+    rs = np.random.RandomState(3)
+    B, SQ, SKV, H, D = 2, 40, 50, 2, 8
+    C = H * D
+    q = jnp.asarray(rs.randn(B, SQ, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, SKV, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, SKV, C).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        out = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        ref = jax.nn.dot_product_attention(
+            q.reshape(B, SQ, H, D), k.reshape(B, SKV, H, D),
+            v.reshape(B, SKV, H, D),
+        ).reshape(B, SQ, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_tokens_flash_grad_matches_xla():
+    """tok_flash custom VJP (backward recomputes via the folded flash)."""
+    from aniportrait_tpu.ops.pallas_attention import tok_flash
+
+    rs = np.random.RandomState(4)
+    B, S, H, D = 1, 32, 2, 8
+    C = H * D
+    q = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+
+    def loss_tok(q, k, v):
+        return jnp.sum(tok_flash(q, k, v, H, 16, 16, True) ** 2)
+
+    def loss_ref(q, k, v):
+        o = jax.nn.dot_product_attention(
+            q.reshape(B, S, H, D), k.reshape(B, S, H, D), v.reshape(B, S, H, D)
+        )
+        return jnp.sum(o.reshape(B, S, C) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_tok, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
