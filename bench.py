@@ -98,7 +98,7 @@ def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
     poses = [rs.randint(0, 255, (res, res, 3), np.uint8) for _ in range(frames)]
     kw = dict(
         width=res, height=res, video_length=frames, num_inference_steps=steps,
-        guidance_scale=3.5, seed=0, windowed=True, decode_chunk=4,
+        guidance_scale=3.5, seed=0, windowed=True, decode_chunk=8,
     )
 
     # inputs staged on device OUTSIDE the timed region: the bench measures
@@ -276,7 +276,7 @@ def bench_audio2vid(acc=False, frames=48, res=512, steps=25):
     kw = dict(
         width=res, height=res, video_length=diff_frames,
         num_inference_steps=steps, guidance_scale=3.5, seed=0, windowed=True,
-        decode_chunk=4,
+        decode_chunk=8,
     )
 
     film = None

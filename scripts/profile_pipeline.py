@@ -66,7 +66,7 @@ def main():
     poses = [rs.randint(0, 255, (res, res, 3), np.uint8) for _ in range(frames)]
     kw = dict(width=res, height=res, video_length=frames,
               num_inference_steps=25, guidance_scale=3.5, seed=0,
-              windowed=True, decode_chunk=4)
+              windowed=True, decode_chunk=8)
     staged = pipe.stage_inputs(ref, poses, res, res, device=True)
     out = pipe(staged, None, None, return_device=True, **kw)  # compile
     float(jnp.sum(out.astype(jnp.float32)))
