@@ -70,7 +70,9 @@ def generate_head_pose(
             int(sl),
             jnp.asarray([id_seed]),
         )
-        chunk = np.asarray(chunk)[0]
+        # np.array (copy): on the CPU backend np.asarray of a jax array is a
+        # zero-copy READ-ONLY view and the in-place damping would raise
+        chunk = np.array(chunk)[0]
         chunk[:, :3] *= 0.5  # rotation damping (audio2vid.py:193)
         pose_seq.append(chunk)
     from aniportrait_tpu.utils.pose_util import smooth_pose_seq

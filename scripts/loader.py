@@ -52,16 +52,29 @@ def _to_jax(tree):
 
 
 def load_pipeline(config: Config, dtype=jnp.bfloat16,
-                  encoder_cache_interval: int = 1) -> Pose2VideoPipeline:
-    """config: a prompt YAML (configs/prompts/animation*.yaml shape)."""
+                  encoder_cache_interval: int = 1,
+                  random_init: bool = False,
+                  size: str = "full") -> Pose2VideoPipeline:
+    """config: a prompt YAML (configs/prompts/animation*.yaml shape).
+
+    ``random_init=True`` skips the checkpoint zoo (random weights, real
+    architectures; ``size`` picks the factory preset) — for smoke runs and
+    serving tests in images without the weights."""
     infer_cfg = load_config(str(config.inference_config))
     mk = infer_cfg.unet_additional_kwargs.motion_module_kwargs
     defs = build_model_defs(
-        size="full",
+        size=size,
         use_motion_module=bool(infer_cfg.unet_additional_kwargs.use_motion_module),
         dtype=dtype,
         scheduler_kwargs=infer_cfg.noise_scheduler_kwargs.to_dict(),
     )
+    if random_init:
+        from aniportrait_tpu.factory import init_random_params
+
+        modules = init_random_params(defs)
+        return Pose2VideoPipeline(
+            modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval
+        )
 
     vae_sd = load_torch_state_dict(_find_weights(str(config.pretrained_vae_path)))
     vae_params, _ = convert_vae(vae_sd)
@@ -105,8 +118,11 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
     )
 
 
-def load_audio_models(audio_config: Config):
-    """Build + load Audio2Mesh / Audio2Pose (reference audio2vid.py:66-72)."""
+def load_audio_models(audio_config: Config, random_init: bool = False):
+    """Build + load Audio2Mesh / Audio2Pose (reference audio2vid.py:66-72).
+
+    ``random_init=True`` fills statistically-sane random parameters without
+    loading (or compiling) anything — for smoke runs without the weights."""
     from aniportrait_tpu.audio.audio2mesh import Audio2MeshModel
     from aniportrait_tpu.audio.audio2pose import Audio2PoseModel
 
@@ -120,6 +136,21 @@ def load_audio_models(audio_config: Config):
         latent_dim=audio_config.a2p_model.latent_dim,
         only_last_features=bool(audio_config.a2p_model.only_last_fetures),
     )
+    if random_init:
+        from aniportrait_tpu.factory import _fill_abstract
+
+        wav = jnp.zeros((1, 16000), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        a2m_params = _fill_abstract(
+            jax.eval_shape(lambda r, w: a2m.init(r, w, 8), rng, wav)
+        )["params"]
+        a2p_params = _fill_abstract(
+            jax.eval_shape(
+                lambda r, w: a2p.init(r, w, 8, jnp.zeros((1,), jnp.int32)),
+                rng, wav,
+            )
+        )["params"]
+        return (a2m, a2m_params), (a2p, a2p_params)
     a2m_sd = load_torch_state_dict(str(audio_config.pretrained_model.a2m_ckpt))
     a2m_params, _ = convert_audio2mesh(a2m_sd)
     a2p_sd = load_torch_state_dict(str(audio_config.pretrained_model.a2p_ckpt))
