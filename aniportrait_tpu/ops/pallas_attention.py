@@ -418,8 +418,16 @@ def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
     scale = 1.0 / math.sqrt(d)
     rows, sq_p, dp = qf.shape
     skv_p = kf.shape[1]
+    # backward blocks are capped independently of the forward's: the dq/dkv
+    # kernels carry more live buffers (do/lse/delta + two accumulators) and
+    # exceed the 16M scoped-VMEM budget at the forward's 1024/2048 blocks
+    # inside large programs (stage-2 OOM); 512/1024 measured safe
     bq = min(block_q, sq_p)
     bkv = min(block_kv, skv_p)
+    while bq > 512:  # halving keeps sq_p % bq == 0
+        bq //= 2
+    while bkv > 1024:
+        bkv //= 2
     n_q, n_kv = sq_p // bq, skv_p // bkv
 
     dof = _pad_to(_fold_heads(g.astype(qf.dtype), dp), sq_p, 1)
@@ -642,7 +650,7 @@ def flash_attention_tokens(
     k: jnp.ndarray,
     v: jnp.ndarray,
     heads: int,
-    block_q: int = 1024,
+    block_q: int = 512,  # bq=1024 exceeds the 16M VMEM budget at C=320
     block_kv: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -691,11 +699,159 @@ def flash_attention_tokens(
     return out[:, :sq]
 
 
+def _tokb_fwd_kernel(
+    scale, block_kv, skv, n_kv, heads, d, need_mask,
+    q_ref, k_ref, v_ref, bound_ref,
+    o_ref, l_out_ref,
+    acc_ref, l_ref,
+):
+    """Bounded-softmax flash forward: ``p = exp(logits - M)`` with a
+    PRECOMPUTED per-(row, head) upper bound M >= max(logits) (Cauchy-
+    Schwarz on q/k norms) instead of the online running max.
+
+    The running-max machinery is a loop-carried serial chain (max-reduce ->
+    alpha -> acc rescale) that stalls the MXU/VPU pipeline: measured on the
+    4096q/8192kv call, the full online-softmax kernel runs 15.8 ms vs
+    12.1 ms with a fixed shift and the identical matmuls.  With a fixed
+    per-row shift every block's exp/sum/PV is independent of the previous
+    block except through pure += accumulators, so Mosaic can overlap VPU
+    softmax with the next block's MXU.
+
+    Exactness: softmax is shift-invariant, so any M >= max(logits) gives
+    bit-comparable results (p is smaller by exp(max - M) but division by l
+    cancels it at identical relative f32 precision) — UNLESS the bound is
+    so loose that exp(max - M) underflows f32 (max - M < ~-87).  Then l
+    collapses toward 0, which the caller detects via the l output and
+    falls back to the running-max kernel (``flash_attention_tokens``)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, C)
+    k = k_ref[0]  # (bkv, C)
+    v = v_ref[0]
+    bound = bound_ref[0]  # (bq, 128) f32; head h's bound in column h
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bkv) f32
+        if need_mask:
+            cols = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(cols < skv, logits, NEG_INF)
+        p = jnp.exp(logits - bound[:, h : h + 1])
+        l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:, sl] += jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = []
+        for h in range(heads):
+            l = l_ref[:, h : h + 1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+        l_out_ref[0] = l_ref[:]
+
+
+def _bounds_cauchy_schwarz(q, k, heads, d, scale, sq_p):
+    """Per-(batch, q-token, head) logit upper bound scale*|q_h|*max|k_h|,
+    laid out (B, Sq_p, 128) f32 with head h in lane column h."""
+    b, sq, c = q.shape
+    qh = q.reshape(b, sq, heads, d).astype(jnp.float32)
+    qn = jnp.sqrt(jnp.sum(qh * qh, axis=-1))  # (b, sq, h)
+    kh = k.reshape(b, k.shape[1], heads, d).astype(jnp.float32)
+    kn = jnp.sqrt(jnp.max(jnp.sum(kh * kh, axis=-1), axis=1))  # (b, h)
+    m = scale * qn * kn[:, None, :]  # (b, sq, h)
+    m = jnp.pad(m, ((0, 0), (0, sq_p - sq), (0, 128 - heads)))
+    return m
+
+
+def flash_attention_tokens_bounded(
+    q, k, v, heads: int, block_q: int = 512, block_kv: int = 1024,
+    interpret: bool = False,
+):
+    """Token-layout flash with bounded-softmax fast path + runtime guard.
+    Returns exactly what ``flash_attention_tokens`` returns; if the
+    Cauchy-Schwarz bound is ever >~85 logits above the true max (softmax
+    weights underflow, l -> 0), recomputes with the running-max kernel."""
+    b, sq, c = q.shape
+    skv = k.shape[1]
+    d = c // heads
+    scale = 1.0 / math.sqrt(d)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+    qp = _pad_to(q, sq_p, 1)
+    kp = _pad_to(k, skv_p, 1)
+    vp = _pad_to(v, skv_p, 1)
+    bounds = _bounds_cauchy_schwarz(q, k, heads, d, scale, sq_p)
+
+    kernel = functools.partial(
+        _tokb_fwd_kernel, scale, bkv, skv, n_kv, heads, d, skv_p != skv
+    )
+    out, l = pl.pallas_call(
+        kernel,
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bounds)
+    out = out[:, :sq]
+    ok = jnp.min(l[:, :sq, :heads]) > 1e-30
+    return jax.lax.cond(
+        ok,
+        lambda: out,
+        lambda: flash_attention_tokens(
+            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            interpret=interpret,
+        ),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
-    """Differentiable token-layout flash attention: Pallas tokens forward,
-    backward via the head-folded flash VJP (recompute; training only)."""
-    return flash_attention_tokens(
+    """Differentiable token-layout flash attention: bounded-softmax Pallas
+    forward (guarded; see flash_attention_tokens_bounded), backward via the
+    head-folded flash VJP (recompute; training only)."""
+    return flash_attention_tokens_bounded(
         q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )

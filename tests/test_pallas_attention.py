@@ -250,3 +250,65 @@ def test_tokens_flash_grad_matches_xla():
         g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_bounded_tokens_flash_matches_plain():
+    """Bounded-softmax fast path (fixed per-row shift) == running-max
+    kernel to f32 precision; includes uneven KV tail."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_bounded,
+    )
+
+    rs = np.random.RandomState(5)
+    B, SQ, SKV, H, D = 2, 40, 50, 2, 8
+    C = H * D
+    q = jnp.asarray(rs.randn(B, SQ, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, SKV, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, SKV, C).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        out = flash_attention_tokens_bounded(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_bounded_tokens_flash_guard_fallback():
+    """When the Cauchy-Schwarz bound is loose enough to underflow the
+    softmax (l -> 0), the guard must reroute to the running-max kernel and
+    still return the exact result."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_bounded,
+    )
+
+    rs = np.random.RandomState(6)
+    B, S, H, D = 1, 16, 1, 8
+    C = H * D
+    # q has a huge norm along e0; k lives in the orthogonal complement with
+    # a huge norm along e1: true logits are 0 but the norm-product bound is
+    # ~1e8/sqrt(8) >> 87, so exp underflows and l == 0 in the fast path.
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e4
+    k = np.zeros((B, S, C), np.float32)
+    k[..., 1] = 1e4
+    v = rs.randn(B, S, C).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        out = flash_attention_tokens_bounded(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    # all logits equal -> uniform average of v
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+    uniform = np.broadcast_to(
+        np.asarray(jnp.mean(v, 1, keepdims=True)), out.shape
+    )
+    np.testing.assert_allclose(np.asarray(out), uniform, atol=2e-5, rtol=1e-4)
