@@ -91,17 +91,25 @@ def build_model_defs(
     dtype=jnp.float32,
     scheduler_kwargs: Optional[Dict[str, Any]] = None,
     gradient_checkpointing: bool = False,
+    unet_overrides: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
+    """``unet_overrides``: extra AniUNet fields for the denoising UNet — the
+    knobs the reference exposes via ``unet_additional_kwargs`` in the
+    inference YAMLs (configs/inference/inference_v{1,2}.yaml), e.g.
+    ``motion_module_mid_block``, ``motion_pe_max_len``,
+    ``use_inflated_groupnorm``."""
     return dict(
         **_build_defs_inner(
-            size, use_motion_module, dtype, gradient_checkpointing
+            size, use_motion_module, dtype, gradient_checkpointing,
+            unet_overrides or {},
         ),
         scheduler=DDIMScheduler(**(scheduler_kwargs or INFERENCE_SCHEDULER)),
         size=size,
     )
 
 
-def _build_defs_inner(size, use_motion_module, dtype, gradient_checkpointing):
+def _build_defs_inner(size, use_motion_module, dtype, gradient_checkpointing,
+                      unet_overrides={}):
     cfg = SIZES[size]
     return dict(
         vae=AutoencoderKL(**cfg["vae"], dtype=dtype),
@@ -112,7 +120,8 @@ def _build_defs_inner(size, use_motion_module, dtype, gradient_checkpointing):
         ),
         denoising_unet=AniUNet(
             **cfg["unet"], use_motion_module=use_motion_module,
-            gradient_checkpointing=gradient_checkpointing, dtype=dtype
+            gradient_checkpointing=gradient_checkpointing, dtype=dtype,
+            **unet_overrides,
         ),
         pose_guider=PoseGuider(**cfg["pose_guider"], dtype=dtype),
     )

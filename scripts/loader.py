@@ -61,12 +61,28 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
     architectures; ``size`` picks the factory preset) — for smoke runs and
     serving tests in images without the weights."""
     infer_cfg = load_config(str(config.inference_config))
-    mk = infer_cfg.unet_additional_kwargs.motion_module_kwargs
+    uk = infer_cfg.unet_additional_kwargs
+    mk = uk.motion_module_kwargs
+    # Map the reference's unet_additional_kwargs knobs (the v1/v2 inference
+    # YAML deltas: configs/inference/inference_v1.yaml has mid_block=false,
+    # PE max_len 24, no inflated GN) onto AniUNet fields.
+    overrides = {}
+    if "motion_module_mid_block" in uk:
+        overrides["motion_module_mid_block"] = bool(uk.motion_module_mid_block)
+    if "motion_module_resolutions" in uk:
+        overrides["motion_module_resolutions"] = tuple(uk.motion_module_resolutions)
+    if "use_inflated_groupnorm" in uk:
+        overrides["use_inflated_groupnorm"] = bool(uk.use_inflated_groupnorm)
+    else:
+        overrides["use_inflated_groupnorm"] = False  # reference v1 default
+    if mk and "temporal_position_encoding_max_len" in mk:
+        overrides["motion_pe_max_len"] = int(mk.temporal_position_encoding_max_len)
     defs = build_model_defs(
         size=size,
-        use_motion_module=bool(infer_cfg.unet_additional_kwargs.use_motion_module),
+        use_motion_module=bool(uk.use_motion_module),
         dtype=dtype,
         scheduler_kwargs=infer_cfg.noise_scheduler_kwargs.to_dict(),
+        unet_overrides=overrides,
     )
     if random_init:
         from aniportrait_tpu.factory import init_random_params

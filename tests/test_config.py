@@ -47,3 +47,54 @@ noise_scheduler_kwargs:
 
     s = DDIMScheduler(**cfg.noise_scheduler_kwargs.to_dict())
     assert s.prediction_type == "v_prediction"
+
+
+def test_inference_v1_config_plumbs_unet_knobs():
+    """The shipped legacy inference_v1.yaml (parity with the reference's
+    configs/inference/inference_v1.yaml) maps onto AniUNet fields: motion
+    module out of the mid block, PE max_len 24, non-inflated GroupNorm,
+    epsilon-prediction DDIM."""
+    import os
+
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import build_model_defs
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs/inference/inference_v1.yaml"))
+    uk = cfg.unet_additional_kwargs
+    defs = build_model_defs(
+        size="tiny",
+        use_motion_module=bool(uk.use_motion_module),
+        dtype=jnp.float32,
+        scheduler_kwargs=cfg.noise_scheduler_kwargs.to_dict(),
+        unet_overrides=dict(
+            motion_module_mid_block=bool(uk.motion_module_mid_block),
+            motion_module_resolutions=tuple(uk.motion_module_resolutions),
+            use_inflated_groupnorm=bool(uk.use_inflated_groupnorm),
+            motion_pe_max_len=int(
+                uk.motion_module_kwargs.temporal_position_encoding_max_len
+            ),
+        ),
+    )
+    unet = defs["denoising_unet"]
+    assert unet.motion_module_mid_block is False
+    assert unet.motion_pe_max_len == 24
+    assert unet.use_inflated_groupnorm is False
+    assert defs["scheduler"].prediction_type == "epsilon"
+    assert defs["scheduler"].timestep_spacing == "leading"
+
+
+def test_test_cases_registry_importable():
+    """configs/prompts/test_cases.py parity (reference configs/prompts/
+    test_cases.py): importable dict keyed by rank."""
+    import os
+
+    from aniportrait_tpu.config import import_filename
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mod = import_filename(os.path.join(repo, "configs/prompts/test_cases.py"))
+    assert 0 in mod.TestCasesDict
+    case = mod.TestCasesDict[0][0]
+    (ref_img, pose_vids), = case.items()
+    assert ref_img.endswith(".png") and all(v.endswith(".mp4") for v in pose_vids)
