@@ -660,6 +660,11 @@ def flash_attention_tokens(
     skv = k.shape[1]
     d = c // heads
     scale = 1.0 / math.sqrt(d)
+    # scale blocks down with channel width to stay inside the 16M scoped
+    # VMEM budget (same rule as the no-shift kernel)
+    if c > 320:
+        block_q = max(128, (block_q * 320 // c) // 128 * 128)
+        block_kv = max(128, (block_kv * 320 // c) // 128 * 128)
     bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
     bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
     sq_p = ((sq + bq - 1) // bq) * bq
@@ -699,6 +704,158 @@ def flash_attention_tokens(
     return out[:, :sq]
 
 
+def _tokns_fwd_kernel(
+    block_kv, skv, n_kv, heads, d, need_mask,
+    q_ref, k_ref, v_ref,
+    o_ref, l_out_ref,
+    acc_ref, l_ref,
+):
+    """No-shift flash forward: ``p = exp(logits)`` with NO softmax shift.
+
+    At head_dim 40 the kernel is VPU-bound — the MXU passes pad the 40-lane
+    contraction to 128 regardless, so wall-clock tracks the per-logit VPU
+    op count, not FLOPs.  This kernel cuts it to the floor (exp + one bf16
+    convert per logit):
+      * q arrives PRE-SCALED by 1/sqrt(d) — drops the `* scale` multiply
+        over all logits;
+      * no running max and no precomputed bound — drops the broadcast
+        subtract (softmax is shift-invariant; see exactness note below);
+      * the denominator l is computed ON THE MXU as ``dot(p, ones)`` —
+        drops the (bq, bkv) VPU row-reduce.  The extra matmul has N=1
+        (pads to the same 128-lane tile the PV matmul already pays) and
+        reuses the bf16 p the PV matmul needs anyway, so l is normalised
+        against EXACTLY the weights the numerator used.
+    Chip A/B (scripts/bench_tok_kernel.py): beats the running-max kernel
+    at head_dim >= 80 (res/2 1024q/3072kv d80: 1.47x; d128 experiment:
+    2.17x), loses slightly at d=40 (0.93-0.95x) where the extra N=1 MXU
+    pass for l costs as much as the whole d=40 PV matmul — and loses to
+    the bounded-softmax kernel at EVERY measured shape, so ``tok_flash``
+    uses bounded; this kernel is kept as the measured record of the
+    experiment (and as the better choice if a head_dim >= 80 workload
+    ever outgrows the bound precompute).
+
+    Exactness: post-LayerNorm logits are O(10); f32 exp only overflows
+    past ~88.7 and l only degrades below ~1e-30.  The kernel returns the
+    raw denominators; the caller falls back to the running-max kernel iff
+    any l is nonfinite or ~0, so the result is ALWAYS exact — the fast
+    path just skips the shift machinery when it provably didn't matter."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, C) pre-scaled
+    k = k_ref[0]  # (bkv, C)
+    v = v_ref[0]
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bkv) f32
+        if need_mask:
+            cols = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(cols < skv, logits, NEG_INF)
+        p = jnp.exp(logits).astype(v.dtype)  # exp(NEG_INF) == 0 exactly
+        l_ref[:, h : h + 1] += jax.lax.dot_general(
+            p, jnp.ones((p.shape[1], 1), v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, sl] += jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = []
+        for h in range(heads):
+            l = l_ref[:, h : h + 1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+        l_out_ref[0] = l_ref[:]
+
+
+def flash_attention_tokens_noshift(
+    q, k, v, heads: int, block_q: int = 512, block_kv: int = 1024,
+    interpret: bool = False,
+):
+    """Token-layout flash with shift-free softmax fast path + runtime
+    guard.  Returns exactly what ``flash_attention_tokens`` returns; if
+    any softmax denominator over- or underflowed without the shift
+    (logits beyond ~±87 — impossible for post-LayerNorm activations but
+    guarded anyway), recomputes with the running-max kernel."""
+    b, sq, c = q.shape
+    skv = k.shape[1]
+    d = c // heads
+    scale = 1.0 / math.sqrt(d)
+    # scale the q block down with channel width: at C=640 the 512-row block
+    # plus the ones-lane tile exceeded the 16M scoped-VMEM budget by ~0.5M
+    if c > 320:
+        block_q = max(128, (block_q * 320 // c) // 128 * 128)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+    qp = _pad_to(q * jnp.asarray(scale, q.dtype), sq_p, 1)
+    kp = _pad_to(k, skv_p, 1)
+    vp = _pad_to(v, skv_p, 1)
+
+    kernel = functools.partial(
+        _tokns_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv
+    )
+    out, l = pl.pallas_call(
+        kernel,
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out[:, :sq]
+    lv = l[:, :sq, :heads]
+    ok = jnp.logical_and(
+        jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))
+    )
+    return jax.lax.cond(
+        ok,
+        lambda: out,
+        lambda: flash_attention_tokens(
+            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            interpret=interpret,
+        ),
+    )
+
+
 def _tokb_fwd_kernel(
     scale, block_kv, skv, n_kv, heads, d, need_mask,
     q_ref, k_ref, v_ref, bound_ref,
@@ -710,12 +867,13 @@ def _tokb_fwd_kernel(
     Schwarz on q/k norms) instead of the online running max.
 
     The running-max machinery is a loop-carried serial chain (max-reduce ->
-    alpha -> acc rescale) that stalls the MXU/VPU pipeline: measured on the
-    4096q/8192kv call, the full online-softmax kernel runs 15.8 ms vs
-    12.1 ms with a fixed shift and the identical matmuls.  With a fixed
+    alpha -> acc rescale) that stalls the MXU/VPU pipeline; with a fixed
     per-row shift every block's exp/sum/PV is independent of the previous
     block except through pure += accumulators, so Mosaic can overlap VPU
-    softmax with the next block's MXU.
+    softmax with the next block's MXU.  Chip A/B at the driver's hot
+    shapes (scripts/bench_tok_kernel.py): fastest of the three kernels at
+    head_dim 40 (where the per-logit VPU work, not MXU passes, bounds the
+    kernel); at head_dim >= 80 the no-shift kernel wins instead.
 
     Exactness: softmax is shift-invariant, so any M >= max(logits) gives
     bit-comparable results (p is smaller by exp(max - M) but division by l
@@ -789,6 +947,10 @@ def flash_attention_tokens_bounded(
     skv = k.shape[1]
     d = c // heads
     scale = 1.0 / math.sqrt(d)
+    # scale the q block down with channel width to stay inside the 16M
+    # scoped VMEM budget (same rule as the other token-layout kernels)
+    if c > 320:
+        block_q = max(128, (block_q * 320 // c) // 128 * 128)
     bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
     bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
     sq_p = ((sq + bq - 1) // bq) * bq
@@ -849,7 +1011,11 @@ def flash_attention_tokens_bounded(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
     """Differentiable token-layout flash attention: bounded-softmax Pallas
-    forward (guarded; see flash_attention_tokens_bounded), backward via the
+    forward — the chip A/B (scripts/bench_tok_kernel.py) measured it
+    fastest at EVERY hot shape (d40 cond 16.2 vs 19.5 running-max / 20.9
+    no-shift ms; d40 uncond 10.2 vs 11.8 / 12.4; d80 res/2 4.8 vs 7.7 /
+    5.3) — guarded exact (falls back to the running-max kernel if the
+    Cauchy-Schwarz shift underflowed the softmax).  Backward via the
     head-folded flash VJP (recompute; training only)."""
     return flash_attention_tokens_bounded(
         q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,

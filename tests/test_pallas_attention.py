@@ -252,12 +252,12 @@ def test_tokens_flash_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
 
 
-def test_bounded_tokens_flash_matches_plain():
-    """Bounded-softmax fast path (fixed per-row shift) == running-max
+def test_noshift_tokens_flash_matches_plain():
+    """Shift-free fast path (pre-scaled q, MXU row-sums) == running-max
     kernel to f32 precision; includes uneven KV tail."""
     from aniportrait_tpu.ops.pallas_attention import (
         flash_attention_tokens,
-        flash_attention_tokens_bounded,
+        flash_attention_tokens_noshift,
     )
 
     rs = np.random.RandomState(5)
@@ -270,10 +270,98 @@ def test_bounded_tokens_flash_matches_plain():
         ref = flash_attention_tokens(
             q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
         )
-        out = flash_attention_tokens_bounded(
+        out = flash_attention_tokens_noshift(
             q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
         )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_noshift_tokens_flash_orthogonal_qk_exact():
+    """Huge-norm but orthogonal q/k (true logits 0): exp(0)=1 needs no
+    shift — the fast path itself must return the exact uniform average."""
+    rs = np.random.RandomState(6)
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens_noshift,
+    )
+
+    B, S, H, D = 1, 16, 1, 8
+    C = H * D
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e4
+    k = np.zeros((B, S, C), np.float32)
+    k[..., 1] = 1e4
+    v = rs.randn(B, S, C).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with jax.default_matmul_precision("highest"):
+        out = flash_attention_tokens_noshift(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    uniform = np.broadcast_to(
+        np.asarray(jnp.mean(v, 1, keepdims=True)), out.shape
+    )
+    np.testing.assert_allclose(np.asarray(out), uniform, atol=2e-5, rtol=1e-4)
+
+
+def test_noshift_tokens_flash_guard_fallback_overflow():
+    """Logits past f32 exp range (aligned huge q/k -> exp(+big) = inf):
+    the l-guard must reroute to the running-max kernel and still return
+    the exact result (one-hot attention on the dominant token)."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_noshift,
+    )
+
+    rs = np.random.RandomState(7)
+    B, S, H, D = 1, 16, 1, 8
+    C = H * D
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e3
+    k = (0.01 * rs.randn(B, S, C)).astype(np.float32)
+    k[:, 3, 0] = 1.0  # dominant token: logit 1e3/sqrt(8) >> 88, exp -> inf
+    v = rs.randn(B, S, C).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        out = flash_attention_tokens_noshift(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+    # attention collapses onto the dominant token
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.broadcast_to(np.asarray(v[:, 3:4]), out.shape),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_bounded_tokens_flash_matches_plain():
+    """Bounded-softmax fast path (fixed per-row Cauchy-Schwarz shift) ==
+    running-max kernel to f32 precision; includes uneven KV tail."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_bounded,
+    )
+
+    rs = np.random.RandomState(8)
+    B, H, D = 2, 4, 16
+    C = H * D
+    for sq, skv in [(32, 32), (32, 48), (48, 40)]:
+        q = jnp.asarray(rs.randn(B, sq, C).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            ref = flash_attention_tokens(
+                q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+            )
+            out = flash_attention_tokens_bounded(
+                q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
 
 
 def test_bounded_tokens_flash_guard_fallback():
