@@ -690,9 +690,10 @@ def merge_pos_conv_weight_norm(sd: Dict[str, Any], prefix: str = "") -> Dict[str
         if g_key in sd:
             g = to_numpy(sd.pop(g_key))
             v = to_numpy(sd.pop(v_key))
-            # torch weight_norm(dim=2): norm over dims (0, 1)
+            # torch weight_norm(dim=2): norm over dims (0, 1); guard the
+            # all-zero column case (v == 0 -> weight 0, not NaN)
             norm = np.sqrt((v**2).sum(axis=(0, 1), keepdims=True))
-            sd[f"{base}.weight"] = g * v / norm
+            sd[f"{base}.weight"] = g * v / np.where(norm == 0.0, 1.0, norm)
     return sd
 
 
