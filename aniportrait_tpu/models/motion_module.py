@@ -70,7 +70,17 @@ class MotionModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, windows=None):
+        """x: (b, f, h, w, c).  windows: optional (n_win, win_len) int32
+        frame-index array — window-fused temporal attention (the pipeline's
+        opt-in overlap-aware mode): the transformer blocks see each window
+        as an independent sequence (PE indexed by within-window position,
+        exactly like the reference's per-window UNet calls), and frames in
+        window overlaps average their per-window hidden states before
+        proj_out.  With non-overlapping windows covering every frame once
+        this is numerically the per-window computation; with overlaps it
+        approximates the reference's end-of-UNet prediction averaging at
+        each motion module instead (quality-gated in the pipeline)."""
         b, f, h, w, c = x.shape
         residual = x
 
@@ -86,6 +96,11 @@ class MotionModule(nn.Module):
         hid = hid.reshape(b, f, h * w, c)
         hid = nn.Dense(c, dtype=self.dtype, name="proj_in")(hid)
 
+        if windows is not None:
+            n_win, win_len = windows.shape
+            hid = hid[:, windows]  # (b, n_win, win_len, s, c)
+            hid = hid.reshape(b * n_win, win_len, h * w, c)
+
         for i in range(self.num_transformer_blocks):
             hid = TemporalTransformerBlock(
                 dim=c,
@@ -95,6 +110,15 @@ class MotionModule(nn.Module):
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(hid)
+
+        if windows is not None:
+            hid = hid.reshape(b, n_win, win_len, h * w, c)
+            acc = jnp.zeros((b, f, h * w, c), jnp.float32)
+            acc = acc.at[:, windows.reshape(-1)].add(
+                hid.astype(jnp.float32).reshape(b, n_win * win_len, h * w, c)
+            )
+            cnt = jnp.zeros((f,), jnp.float32).at[windows.reshape(-1)].add(1.0)
+            hid = (acc / cnt[None, :, None, None]).astype(hid.dtype)
 
         hid = nn.Dense(
             c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"

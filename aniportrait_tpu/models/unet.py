@@ -92,6 +92,7 @@ class AniUNet(nn.Module):
         drop_mode: str = "traced",
         mode: str = "full",
         enc_features=None,
+        motion_windows=None,
     ):
         """
         Args:
@@ -113,6 +114,12 @@ class AniUNet(nn.Module):
             'full' (tested).
           enc_features: the (mid_sample, res_stack tuple) from 'encode',
             required for mode='decode'.
+          motion_windows: optional (n_win, win_len) int32 frame indices —
+            window-fused temporal attention (see MotionModule.__call__);
+            the opt-in overlap-aware long-clip mode that replaces the
+            per-window UNet loop (reference pipeline_pose2vid_long.py:
+            519-548) with ONE whole-clip pass whose motion modules window
+            internally.
         Returns: (output or enc_features or None, banks dict)
         """
         ch = list(self.block_out_channels)
@@ -185,7 +192,9 @@ class AniUNet(nn.Module):
                     if has_attn:
                         sample = spatial(sample, f"down_{i}_{j}", encoder_hidden_states)
                     if has_motion:
-                        sample = self._motion(out_c, f"down_{i}_motion_{j}")(sample)
+                        sample = self._motion(out_c, f"down_{i}_motion_{j}")(
+                            sample, motion_windows
+                        )
                     res_stack.append(sample)
                 if i < n_down - 1:
                     sample = Downsample3D(
@@ -206,7 +215,7 @@ class AniUNet(nn.Module):
             )(sample, emb)
             sample = spatial(sample, "mid_0", encoder_hidden_states)
             if mid_motion:
-                sample = self._motion(mid_c, "mid_motion_0")(sample)
+                sample = self._motion(mid_c, "mid_motion_0")(sample, motion_windows)
             sample = ResBlock(
                 out_channels=mid_c,
                 use_inflated_groupnorm=self.use_inflated_groupnorm,
@@ -236,7 +245,9 @@ class AniUNet(nn.Module):
                 if has_attn:
                     sample = spatial(sample, f"up_{i}_{j}", encoder_hidden_states)
                 if has_motion:
-                    sample = self._motion(out_c, f"up_{i}_motion_{j}")(sample)
+                    sample = self._motion(out_c, f"up_{i}_motion_{j}")(
+                        sample, motion_windows
+                    )
             if i < n_down - 1:
                 sample = Upsample3D(out_c, dtype=self.dtype, name=f"up_{i}_upsample")(
                     sample

@@ -74,6 +74,7 @@ class Pose2VideoPipeline:
         window_batch: int = 4,
         mesh=None,
         encoder_cache_interval: int = 1,
+        window_fusion: bool = False,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
         windows of each denoise step are sharded across it (the reference
@@ -85,7 +86,21 @@ class Pose2VideoPipeline:
         denoise step and reuse them in between (the encoder's features vary
         slowly across adjacent steps).  1 = exact (default); 2-3 trades
         ~35-45%% of UNet compute for a small quality cost — gate with
-        scripts/quality_gate.py before production use."""
+        scripts/quality_gate.py before production use.
+
+        window_fusion: opt-in overlap-aware long-clip mode.  The exact
+        windowed path (the reference's, pipeline_pose2vid_long.py:519-548)
+        runs the UNet once per overlapping 16-frame window and averages
+        the overlapping noise predictions — 1.33x UNet slots per frame at
+        the default 16/4 windowing.  Everything in the UNet except the
+        motion modules is per-frame (identical across windows), so the
+        fused mode runs ONE whole-clip UNet pass where each motion module
+        windows its temporal attention internally and averages overlap
+        hidden states (models/motion_module.py) — per-frame work drops
+        1.33x -> 1x.  Approximation: overlap averaging happens at each
+        motion module instead of once at the UNet output; measured
+        quality vs the exact path in BASELINE.md (scripts/
+        quality_speed_gate.py)."""
         self.m = modules
         self.dtype = dtype
         self.context_frames = context_frames
@@ -94,6 +109,7 @@ class Pose2VideoPipeline:
         self.window_batch = window_batch
         self.mesh = mesh
         self.encoder_cache_interval = int(encoder_cache_interval)
+        self.window_fusion = bool(window_fusion)
         if mesh is not None:
             from aniportrait_tpu.parallel.mesh import replicate
 
@@ -198,7 +214,24 @@ class Pose2VideoPipeline:
             windows = np.arange(video_length, dtype=np.int32)[None]
         windows = jnp.asarray(windows)  # (n_win, win_len)
         n_win, win_len = windows.shape
-        wb = self.window_batch if self.mesh is not None else min(self.window_batch, n_win)
+        # window-fused mode: ONE whole-clip UNet pass per step; the motion
+        # modules window internally (see __init__ docstring)
+        fused = (
+            self.window_fusion
+            and self.mesh is None
+            and windowed
+            and n_win > 1
+        )
+        motion_windows = windows if fused else None
+        # fused mode runs ONE whole-clip UNet call per step: banks/context
+        # tile to the clip's (2 if CFG else 1) rows, not window-batch rows
+        wb = (
+            1
+            if fused
+            else self.window_batch
+            if self.mesh is not None
+            else min(self.window_batch, n_win)
+        )
         # pad window count to a multiple of wb; padded windows are masked out
         n_pad = (-n_win) % wb
         if n_pad:
@@ -236,7 +269,7 @@ class Pose2VideoPipeline:
         # config): one window covering frames 0..L-1 — skip the
         # gather/scatter-add/counter machinery entirely (the iota gather and
         # scatter-add are pure copies XLA does not always elide)
-        single = (
+        single = fused or (
             self.mesh is None
             and windows.shape[0] == 1
             and int(win_len) == int(video_length)
@@ -274,6 +307,7 @@ class Pose2VideoPipeline:
                 ref_banks=banks_t,
                 drop_ref=None,
                 drop_mode="first_half" if do_cfg else "none",
+                motion_windows=motion_windows,
                 **kw,
             )
             return out
@@ -536,7 +570,8 @@ class Pose2VideoPipeline:
             )
 
         hlat, wlat = height // 8, width // 8
-        key = (video_length, hlat, wlat, num_inference_steps, guidance_scale, windowed)
+        key = (video_length, hlat, wlat, num_inference_steps, guidance_scale,
+               windowed, self.window_fusion)
         if key not in self._compiled:
             with self.timer.phase("build_sampler"):
                 self._compiled[key] = self._build_sampler(

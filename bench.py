@@ -78,7 +78,7 @@ def _median_time(fn, n=3):
 
 def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
                    metric=None, baseline=None, runs=3,
-                   encoder_cache_interval=1):
+                   encoder_cache_interval=1, window_fusion=False):
     import jax.numpy as jnp
 
     from aniportrait_tpu.factory import build_model_defs
@@ -91,6 +91,7 @@ def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
     pipe = Pose2VideoPipeline(
         modules, dtype=jnp.bfloat16, window_batch=window_batch,
         encoder_cache_interval=encoder_cache_interval,
+        window_fusion=window_fusion,
     )
 
     rs = np.random.RandomState(0)
@@ -251,7 +252,8 @@ def _synth_pose_frames(n, res):
     return pose_imgs, t_audio
 
 
-def bench_audio2vid(acc=False, frames=48, res=512, steps=25):
+def bench_audio2vid(acc=False, frames=48, res=512, steps=25,
+                    window_fusion=False):
     """BASELINE configs 4/5: full audio->video.  -acc diffuses every 3rd
     frame and FiLM-interpolates 2 between (reference pose2vid.py:152-179)."""
     import jax.numpy as jnp
@@ -272,7 +274,8 @@ def bench_audio2vid(acc=False, frames=48, res=512, steps=25):
 
     defs = build_model_defs(size="full", use_motion_module=True, dtype=jnp.bfloat16)
     modules = _bf16_modules(defs)
-    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1)
+    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1,
+                              window_fusion=window_fusion)
     kw = dict(
         width=res, height=res, video_length=diff_frames,
         num_inference_steps=steps, guidance_scale=3.5, seed=0, windowed=True,
@@ -325,6 +328,8 @@ def bench_audio2vid(acc=False, frames=48, res=512, steps=25):
     if acc:
         baseline = A100_FPS_512_25 * fi_step  # reference -acc gets the same 3x
     name = "audio2vid_acc_frames_per_sec" if acc else "audio2vid_frames_per_sec"
+    if window_fusion:
+        name += "_fused"
     _one_line(name, fps, baseline)
 
 
@@ -349,12 +354,17 @@ def main():
         if cfg == "pose2vid256":
             return bench_pose2vid(steps=10, frames=16, res=256)
         if cfg == "vid2vid24":
+            wf = "--window-fusion" in argv
             return bench_pose2vid(steps=25, frames=24, res=512,
-                                  metric="vid2vid_frames_per_sec_512px_24f")
+                                  metric="vid2vid_frames_per_sec_512px_24f"
+                                  + ("_fused" if wf else ""),
+                                  window_fusion=wf)
         if cfg == "audio2vid":
-            return bench_audio2vid(acc=False)
+            return bench_audio2vid(acc=False,
+                                   window_fusion="--window-fusion" in argv)
         if cfg == "audio2vid_acc":
-            return bench_audio2vid(acc=True)
+            return bench_audio2vid(acc=True,
+                                   window_fusion="--window-fusion" in argv)
         raise SystemExit(f"unknown --config {cfg!r}")
     ec = 1
     if "--encoder-cache" in argv:

@@ -33,6 +33,13 @@ def parse_args():
              "(k>1 is a documented approximation ~35-45%% faster denoise; "
              "gate with scripts/quality_gate.py)",
     )
+    parser.add_argument(
+        "--window_fusion", action="store_true",
+        help="opt-in overlap-aware long-clip mode: one whole-clip "
+             "UNet pass per step, motion modules window internally "
+             "(quality-gated approximation; "
+             "scripts/quality_speed_gate.py)",
+    )
     parser.add_argument("--fps", type=int, default=30)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
@@ -101,7 +108,8 @@ def main():
     audio_cfg = load_config(str(config.audio_inference_config))
 
     (a2m, a2m_params), (a2p, a2p_params) = load_audio_models(audio_cfg)
-    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache)
+    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
+                         window_fusion=args.window_fusion)
 
     width, height = args.W, args.H
     date_str = datetime.now().strftime("%Y%m%d")

@@ -54,7 +54,8 @@ def _to_jax(tree):
 def load_pipeline(config: Config, dtype=jnp.bfloat16,
                   encoder_cache_interval: int = 1,
                   random_init: bool = False,
-                  size: str = "full") -> Pose2VideoPipeline:
+                  size: str = "full",
+                  window_fusion: bool = False) -> Pose2VideoPipeline:
     """config: a prompt YAML (configs/prompts/animation*.yaml shape).
 
     ``random_init=True`` skips the checkpoint zoo (random weights, real
@@ -89,7 +90,8 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
 
         modules = init_random_params(defs)
         return Pose2VideoPipeline(
-            modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval
+            modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval,
+            window_fusion=window_fusion,
         )
 
     vae_sd = load_torch_state_dict(_find_weights(str(config.pretrained_vae_path)))
@@ -130,7 +132,8 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
         scheduler=defs["scheduler"],
     )
     return Pose2VideoPipeline(
-        modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval
+        modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval,
+        window_fusion=window_fusion,
     )
 
 

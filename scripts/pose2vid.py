@@ -30,6 +30,13 @@ def parse_args():
              "(k>1 is a documented approximation ~35-45%% faster denoise; "
              "gate with scripts/quality_gate.py)",
     )
+    parser.add_argument(
+        "--window_fusion", action="store_true",
+        help="opt-in overlap-aware long-clip mode: one whole-clip "
+             "UNet pass per step, motion modules window internally "
+             "(quality-gated approximation; "
+             "scripts/quality_speed_gate.py)",
+    )
     parser.add_argument("--fps", type=int, default=30)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
@@ -53,7 +60,8 @@ def main():
 
     args = parse_args()
     config = load_config(args.config)
-    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache)
+    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
+                         window_fusion=args.window_fusion)
 
     date_str = datetime.now().strftime("%Y%m%d")
     time_str = datetime.now().strftime("%H%M")

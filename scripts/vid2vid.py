@@ -32,6 +32,13 @@ def parse_args():
              "(k>1 is a documented approximation ~35-45%% faster denoise; "
              "gate with scripts/quality_gate.py)",
     )
+    parser.add_argument(
+        "--window_fusion", action="store_true",
+        help="opt-in overlap-aware long-clip mode: one whole-clip "
+             "UNet pass per step, motion modules window internally "
+             "(quality-gated approximation; "
+             "scripts/quality_speed_gate.py)",
+    )
     parser.add_argument("--fps", type=int, default=None)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
@@ -99,7 +106,8 @@ def main():
 
     args = parse_args()
     config = load_config(args.config)
-    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache)
+    pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
+                         window_fusion=args.window_fusion)
 
     width, height = args.W, args.H
     date_str = datetime.now().strftime("%Y%m%d")

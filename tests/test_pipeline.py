@@ -125,3 +125,48 @@ def test_encoder_cache_interval_one_is_exact(pipeline):
     assert np.isfinite(v2).all()
     # approximation, not identity — but same ballpark
     assert np.abs(v2 - v0).mean() < 0.2
+
+
+def test_window_fusion_nonoverlap_matches_exact(pipeline):
+    """Window fusion with NON-overlapping windows is the same computation
+    as the exact windowed path (each frame lives in exactly one window in
+    both), so outputs must match to numerical tolerance."""
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    exact = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=0, window_batch=2
+    )
+    fused = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=0, window_batch=2,
+        window_fusion=True,
+    )
+    rs = np.random.RandomState(3)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(8)]
+    kw = dict(width=64, height=64, video_length=8, num_inference_steps=2,
+              guidance_scale=3.5, seed=4, decode_chunk=2)
+    v_exact = exact(ref, poses, None, **kw)
+    v_fused = fused(ref, poses, None, **kw)
+    np.testing.assert_allclose(v_fused, v_exact, atol=2 / 255.0)
+
+
+def test_window_fusion_overlap_sane(pipeline):
+    """Overlapping windows: fusion is the documented approximation — output
+    must be finite, in range, and deterministic."""
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    fused = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=2, window_batch=2,
+        window_fusion=True,
+    )
+    rs = np.random.RandomState(4)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(6)]
+    kw = dict(width=64, height=64, video_length=6, num_inference_steps=2,
+              guidance_scale=3.5, seed=5, decode_chunk=2)
+    v1 = fused(ref, poses, None, **kw)
+    assert v1.shape == (6, 64, 64, 3)
+    assert np.isfinite(v1).all()
+    assert v1.min() >= 0.0 and v1.max() <= 1.0
+    v2 = fused(ref, poses, None, **kw)
+    np.testing.assert_array_equal(v1, v2)
