@@ -857,13 +857,13 @@ def flash_attention_tokens_noshift(
 
 
 def _tokb_fwd_kernel(
-    scale, block_kv, skv, n_kv, heads, d, need_mask,
+    block_kv, skv, n_kv, heads, d, need_mask,
     q_ref, k_ref, v_ref, bound_ref,
     o_ref, l_out_ref,
     acc_ref, l_ref,
 ):
-    """Bounded-softmax flash forward: ``p = exp(logits - M)`` with a
-    PRECOMPUTED per-(row, head) upper bound M >= max(logits) (Cauchy-
+    """Bounded-softmax flash forward: ``p = exp2(logits2 - M2)`` with a
+    PRECOMPUTED per-(row, head) upper bound M2 >= max(logits2) (Cauchy-
     Schwarz on q/k norms) instead of the online running max.
 
     The running-max machinery is a loop-carried serial chain (max-reduce ->
@@ -872,15 +872,24 @@ def _tokb_fwd_kernel(
     block except through pure += accumulators, so Mosaic can overlap VPU
     softmax with the next block's MXU.  Chip A/B at the driver's hot
     shapes (scripts/bench_tok_kernel.py): fastest of the three kernels at
-    head_dim 40 (where the per-logit VPU work, not MXU passes, bounds the
-    kernel); at head_dim >= 80 the no-shift kernel wins instead.
+    every measured shape (the per-logit VPU work, not MXU passes, bounds
+    the kernel at head_dim 40).
 
-    Exactness: softmax is shift-invariant, so any M >= max(logits) gives
-    bit-comparable results (p is smaller by exp(max - M) but division by l
-    cancels it at identical relative f32 precision) — UNLESS the bound is
-    so loose that exp(max - M) underflows f32 (max - M < ~-87).  Then l
-    collapses toward 0, which the caller detects via the l output and
-    falls back to the running-max kernel (``flash_attention_tokens``)."""
+    The kernel is per-logit VPU-bound, so the caller folds BOTH softmax
+    scalars into q before the pallas_call: q arrives pre-multiplied by
+    ``log2(e)/sqrt(d)`` and the kernel computes base-2 exponentials —
+    exp(s·qk - m) == exp2((s·log2e)·qk - log2e·m).  That deletes the
+    per-logit `* scale` multiply AND the multiply hidden inside the VPU's
+    exp lowering (exp(x) = exp2(x·log2e)), leaving subtract + exp2 +
+    bf16-convert + add as the only per-logit VPU ops.
+
+    Exactness: softmax is shift-invariant, so any M >= max gives
+    bit-comparable results (p is smaller by exp2(max - M) but division by
+    l cancels it at identical relative f32 precision) — UNLESS the bound
+    is so loose that exp2(max - M) underflows f32 (max - M < ~-126 in
+    base 2).  Then l collapses toward 0, which the caller detects via the
+    l output and falls back to the running-max kernel
+    (``flash_attention_tokens``)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -888,23 +897,23 @@ def _tokb_fwd_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, C)
+    q = q_ref[0]  # (bq, C) pre-scaled by log2(e)/sqrt(d)
     k = k_ref[0]  # (bkv, C)
     v = v_ref[0]
-    bound = bound_ref[0]  # (bq, 128) f32; head h's bound in column h
+    bound = bound_ref[0]  # (bq, 128) f32; head h's base-2 bound in column h
 
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         logits = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (bq, bkv) f32
+        )  # (bq, bkv) f32, base-2 scaled
         if need_mask:
             cols = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, logits.shape, 1
             )
             logits = jnp.where(cols < skv, logits, NEG_INF)
-        p = jnp.exp(logits - bound[:, h : h + 1])
+        p = jnp.exp2(logits - bound[:, h : h + 1])
         l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
         acc_ref[:, sl] += jax.lax.dot_general(
             p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
@@ -946,7 +955,11 @@ def flash_attention_tokens_bounded(
     b, sq, c = q.shape
     skv = k.shape[1]
     d = c // heads
-    scale = 1.0 / math.sqrt(d)
+    # fold softmax scale AND the exp->exp2 conversion into q up front (the
+    # kernel is per-logit VPU-bound; see _tokb_fwd_kernel).  Costs one extra
+    # rounding of q in its own dtype (<=1 ulp) — well under bf16 noise.
+    scale2 = math.log2(math.e) / math.sqrt(d)
+    qs = q * jnp.asarray(scale2, q.dtype)  # q itself feeds the fallback
     # scale the q block down with channel width to stay inside the 16M
     # scoped VMEM budget (same rule as the other token-layout kernels)
     if c > 320:
@@ -956,13 +969,14 @@ def flash_attention_tokens_bounded(
     sq_p = ((sq + bq - 1) // bq) * bq
     skv_p = ((skv + bkv - 1) // bkv) * bkv
     n_q, n_kv = sq_p // bq, skv_p // bkv
-    qp = _pad_to(q, sq_p, 1)
+    qp = _pad_to(qs, sq_p, 1)
     kp = _pad_to(k, skv_p, 1)
     vp = _pad_to(v, skv_p, 1)
-    bounds = _bounds_cauchy_schwarz(q, k, heads, d, scale, sq_p)
+    # base-2 bound on the PRE-SCALED q (scale folded in already)
+    bounds = _bounds_cauchy_schwarz(qs, k, heads, d, 1.0, sq_p)
 
     kernel = functools.partial(
-        _tokb_fwd_kernel, scale, bkv, skv, n_kv, heads, d, skv_p != skv
+        _tokb_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv
     )
     out, l = pl.pallas_call(
         kernel,

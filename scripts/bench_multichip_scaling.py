@@ -1,0 +1,117 @@
+"""Multi-chip scaling evidence (VERDICT r2 item 5).
+
+Runs BOTH driver dryrun entries (stage-1 train step; window-sharded
+inference sampler) at 2/4/8 virtual devices, asserting sharded-vs-single
+numerical parity and recording per-step wall times.
+
+Interpretation caveat, stated up front: this host has ONE physical core, so
+n virtual CPU devices time-slice it — wall-clock CANNOT show speedup here.
+What these runs prove is (a) the sharded programs compile and execute at
+every mesh size, (b) they produce the same numbers as the single-device
+program (parity), and (c) the collective structure is sane (the only
+cross-device traffic in the inference sampler is the scatter-add of
+overlapping window noise predictions — KBs of latents per step).  The v5e-8
+throughput projection is therefore arithmetic on the MEASURED single-chip
+slot rate (BASELINE.md), not an extrapolation of these CPU times:
+
+    slot_rate      = measured single-chip frames/s on the 16-frame
+                     single-window config (each frame == one window slot)
+    slots_per_frame(L) = ceil((L - overlap)/(window - overlap)) * window
+                         padded up to a multiple of the chips, / L
+    v5e-8 f/s(L)   = 8 * slot_rate / slots_per_frame(L)
+
+Run: python -m scripts.bench_multichip_scaling  (CPU only, ~10 min warm)
+"""
+
+import time
+
+import numpy as np
+
+
+def projection_table(slot_rate: float, window=16, overlap=4, chips=8):
+    """The v5e-8 arithmetic, printed so BASELINE.md can cite it."""
+    rows = []
+    for L in (48, 120, 300):
+        n_win = -(-(L - overlap) // (window - overlap))
+        # CFG doubles the row axis: shardable work units = 2 * n_win
+        units = 2 * n_win
+        pad_units = -(-units // chips) * chips
+        slots_per_frame = (pad_units / 2) * window / L
+        fps = chips * slot_rate / slots_per_frame
+        rows.append((L, n_win, pad_units / units, slots_per_frame, fps))
+    return rows
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as g
+
+    # --- timings + parity at 2/4/8 devices -------------------------------
+    # _ensure_n_devices switches to virtual CPU; call with the LARGEST mesh
+    # first so every size fits the same backend config
+    g._ensure_n_devices(8)
+
+    from aniportrait_tpu.factory import build_model_defs, init_abstract_params
+    from aniportrait_tpu.parallel.mesh import make_mesh
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    defs = build_model_defs(size="micro", use_motion_module=True)
+    modules = init_abstract_params(defs)
+
+    rs = np.random.RandomState(1)
+    ref_img = rs.randint(0, 255, (32, 32, 3), np.uint8)
+    poses = [rs.randint(0, 255, (32, 32, 3), np.uint8) for _ in range(8)]
+    kw = dict(width=32, height=32, video_length=8, num_inference_steps=2,
+              guidance_scale=3.5, seed=0, windowed=True, decode_chunk=4)
+
+    def run_inference(mesh, wb):
+        pipe = Pose2VideoPipeline(
+            modules, context_frames=4, context_overlap=2,
+            window_batch=wb, mesh=mesh,
+        )
+        ctx = mesh if mesh is not None else _null()
+        with ctx:
+            pipe(ref_img, poses, None, **kw)  # compile
+            t0 = time.perf_counter()
+            video = np.asarray(pipe(ref_img, poses, None, **kw))
+            return video, time.perf_counter() - t0
+
+    class _null:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    print("inference sampler (micro, 8 frames, 2 steps, window-sharded):")
+    base_video, t1 = run_inference(None, 2)
+    print(f"  1 device : warm {t1:.2f}s  (reference output)")
+    for n in (2, 4, 8):
+        mesh = make_mesh(n)
+        video, t = run_inference(mesh, max(n // 2, 1))
+        err = float(np.abs(video.astype(np.float64) -
+                           base_video.astype(np.float64)).max())
+        ok = "parity OK" if err <= 2 / 255.0 + 1e-12 else f"PARITY FAIL {err}"
+        print(f"  {n} devices: warm {t:.2f}s  max|Δ| {err:.2e}  {ok}")
+        assert err <= 2 / 255.0 + 1e-12, err
+
+    # --- train step at 2/4/8 ---------------------------------------------
+    print("stage-1 train step (micro, dryrun_multichip):")
+    for n in (2, 4, 8):
+        t0 = time.perf_counter()
+        g.dryrun_multichip(n)
+        print(f"  {n} devices: step+checks {time.perf_counter() - t0:.1f}s")
+
+    # --- the projection ---------------------------------------------------
+    slot_rate = 1.73  # measured single-chip f/s, single-window config (BASELINE.md)
+    print(f"\nv5e-8 projection (slot rate {slot_rate} f/s per chip, window 16/4):")
+    print("  L    windows  pack-eff  slots/frame  projected f/s  (vs 1.0 A100 model)")
+    for L, n_win, pack, spf, fps in projection_table(slot_rate):
+        print(
+            f"  {L:<4} {n_win:<8} {1/pack:<9.2f} {spf:<12.2f} {fps:<14.2f} {fps:.1f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
