@@ -12,7 +12,10 @@ PE max_len 32 — configs/inference/inference_v2.yaml:14-21).
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
 from aniportrait_tpu.models.attention import CrossAttention, FeedForward, _ln
@@ -98,7 +101,25 @@ class MotionModule(nn.Module):
 
         if windows is not None:
             n_win, win_len = windows.shape
-            hid = hid[:, windows]  # (b, n_win, win_len, s, c)
+            win_np = np.asarray(windows)  # STATIC table (pipeline passes numpy)
+            starts = win_np[:, 0]
+            contiguous = bool(
+                (win_np == starts[:, None] + np.arange(win_len)[None]).all()
+            )
+            if contiguous:
+                # static slices, not a gather: each window is a contiguous
+                # frame range, so the windowed copy is n_win linear slices
+                # (XLA fuses/pipelines these; the gather lowering did a full
+                # scatter-style HBM pass per motion module)
+                hid = jnp.stack(
+                    [
+                        lax.slice_in_dim(hid, int(s), int(s) + win_len, axis=1)
+                        for s in starts
+                    ],
+                    axis=1,
+                )  # (b, n_win, win_len, s, c)
+            else:
+                hid = hid[:, jnp.asarray(win_np)]
             hid = hid.reshape(b * n_win, win_len, h * w, c)
 
         for i in range(self.num_transformer_blocks):
@@ -113,12 +134,32 @@ class MotionModule(nn.Module):
 
         if windows is not None:
             hid = hid.reshape(b, n_win, win_len, h * w, c)
-            acc = jnp.zeros((b, f, h * w, c), jnp.float32)
-            acc = acc.at[:, windows.reshape(-1)].add(
-                hid.astype(jnp.float32).reshape(b, n_win * win_len, h * w, c)
-            )
-            cnt = jnp.zeros((f,), jnp.float32).at[windows.reshape(-1)].add(1.0)
-            hid = (acc / cnt[None, :, None, None]).astype(hid.dtype)
+            # overlap counts are a trace-time constant of the static table
+            cnt = np.zeros((f,), np.float32)
+            np.add.at(cnt, win_np.reshape(-1), 1.0)
+            if contiguous:
+                # fold 1/cnt into each window's slice, then accumulate with
+                # STATIC-index updates — XLA lowers these to pad+add
+                # elementwise fusions, no scatter
+                acc = jnp.zeros((b, f, h * w, c), jnp.float32)
+                for i, s in enumerate(starts):
+                    s = int(s)
+                    wgt = jnp.asarray(
+                        (1.0 / cnt[s : s + win_len])[None, :, None, None]
+                    )
+                    acc = acc.at[:, s : s + win_len].add(
+                        hid[:, i].astype(jnp.float32) * wgt
+                    )
+                hid = acc.astype(hid.dtype)
+            else:
+                win_j = jnp.asarray(win_np)
+                acc = jnp.zeros((b, f, h * w, c), jnp.float32)
+                acc = acc.at[:, win_j.reshape(-1)].add(
+                    hid.astype(jnp.float32).reshape(b, n_win * win_len, h * w, c)
+                )
+                hid = (acc / jnp.asarray(cnt)[None, :, None, None]).astype(
+                    hid.dtype
+                )
 
         hid = nn.Dense(
             c, dtype=self.dtype, kernel_init=nn.initializers.zeros, name="proj_out"

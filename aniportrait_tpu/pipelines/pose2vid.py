@@ -212,6 +212,7 @@ class Pose2VideoPipeline:
             )
         else:
             windows = np.arange(video_length, dtype=np.int32)[None]
+        windows_np = np.asarray(windows)
         windows = jnp.asarray(windows)  # (n_win, win_len)
         n_win, win_len = windows.shape
         # window-fused mode: ONE whole-clip UNet pass per step; the motion
@@ -222,7 +223,10 @@ class Pose2VideoPipeline:
             and windowed
             and n_win > 1
         )
-        motion_windows = windows if fused else None
+        # STATIC (numpy) window table for the motion modules: contiguous
+        # windows then lower to slices + fused pad-adds instead of
+        # gather/scatter-add HBM passes (motion_module.py)
+        motion_windows = windows_np if fused else None
         # fused mode runs ONE whole-clip UNet call per step: banks/context
         # tile to the clip's (2 if CFG else 1) rows, not window-batch rows
         wb = (
