@@ -59,6 +59,13 @@ class FaceDataset:
     def __len__(self):
         return len(self.names)
 
+    def shard(self, process_index: int, process_count: int) -> None:
+        """Multi-host data parallelism: keep every process_count-th video
+        (after the seeded shuffle, so shards are disjoint and balanced).
+        The reference's analog is DistributedSampler inside Accelerate's
+        dataloader prepare (train_stage_1.py:410-421)."""
+        self.names = self.names[process_index::process_count]
+
     def _load_rgb(self, path: str) -> np.ndarray:
         import cv2
 

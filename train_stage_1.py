@@ -71,7 +71,18 @@ def main():
 
     from aniportrait_tpu.config import load_config
     from aniportrait_tpu.factory import build_model_defs, init_random_params
-    from aniportrait_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aniportrait_tpu.parallel.mesh import (
+        init_distributed,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
+
+    # multi-host (DCN) data parallelism — the reference's `accelerate launch`
+    # multi-node DDP (README.md:226). No-op unless JAX_COORDINATOR_ADDRESS /
+    # JAX_MULTIHOST_AUTODETECT=1 is set; afterwards jax.devices() is global
+    # and the 'data' mesh spans hosts.
+    multihost = init_distributed()
     from aniportrait_tpu.schedulers import DDIMScheduler
     from aniportrait_tpu.train.dataset import FaceDataset
     from aniportrait_tpu.train.train_step import (
@@ -209,7 +220,17 @@ def main():
     rng = jax.random.PRNGKey(int(cfg.seed))
     from aniportrait_tpu.train.prefetch import prefetch
 
-    batches = prefetch(dataset.batches(int(cfg.train_bs)), depth=2)
+    # multi-host: each process loads its global_bs / process_count slice;
+    # shard_batch assembles the global array without cross-host copies
+    local_bs = int(cfg.train_bs)
+    if multihost:
+        assert local_bs % jax.process_count() == 0, (
+            f"train_bs {local_bs} must divide by process_count"
+            f" {jax.process_count()}"
+        )
+        local_bs //= jax.process_count()
+        dataset.shard(jax.process_index(), jax.process_count())
+    batches = prefetch(dataset.batches(local_bs), depth=2)
     with mesh:
         for step, batch in enumerate(batches):
             if step >= max_steps:

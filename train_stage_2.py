@@ -41,7 +41,12 @@ def main():
 
     from aniportrait_tpu.config import load_config
     from aniportrait_tpu.factory import build_model_defs, init_random_params
-    from aniportrait_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from aniportrait_tpu.parallel.mesh import (
+        init_distributed,
+        make_mesh,
+        replicate,
+        shard_batch,
+    )
     from aniportrait_tpu.schedulers import DDIMScheduler
     from aniportrait_tpu.train.dataset import FaceDataset
     from aniportrait_tpu.train.train_step import (
@@ -50,6 +55,9 @@ def main():
         make_train_step,
     )
     from aniportrait_tpu.utils.util import seed_everything
+
+    # guarded multi-host (DCN) init — see train_stage_1.py for the contract
+    multihost = init_distributed()
 
     cfg = load_config(args.config)
     seed_everything(cfg.seed)
@@ -183,7 +191,12 @@ def main():
     rng = jax.random.PRNGKey(int(cfg.seed))
     from aniportrait_tpu.train.prefetch import prefetch
 
-    batches = prefetch(dataset.batches(int(cfg.train_bs)), depth=2)
+    local_bs = int(cfg.train_bs)
+    if multihost:
+        assert local_bs % jax.process_count() == 0
+        local_bs //= jax.process_count()
+        dataset.shard(jax.process_index(), jax.process_count())
+    batches = prefetch(dataset.batches(local_bs), depth=2)
     with mesh:
         for step, batch in enumerate(batches):
             if step >= max_steps:
