@@ -22,6 +22,10 @@ from aniportrait_tpu.models.attention import CrossAttention, FeedForward, _ln
 from aniportrait_tpu.models.embeddings import sinusoidal_positional_encoding
 from aniportrait_tpu.models.resnet import fold_frames, group_norm, unfold_frames
 
+# test hook: force the general gather/scatter windowing branch even for
+# contiguous tables (lets tests check the static-slice fast path against it)
+_FORCE_GATHER_FALLBACK = False
+
 
 class TemporalTransformerBlock(nn.Module):
     """2x (LayerNorm -> temporal self-attn (+PE) -> residual) -> FF."""
@@ -105,7 +109,7 @@ class MotionModule(nn.Module):
             starts = win_np[:, 0]
             contiguous = bool(
                 (win_np == starts[:, None] + np.arange(win_len)[None]).all()
-            )
+            ) and not _FORCE_GATHER_FALLBACK
             if contiguous:
                 # static slices, not a gather: each window is a contiguous
                 # frame range, so the windowed copy is n_win linear slices
@@ -138,19 +142,37 @@ class MotionModule(nn.Module):
             cnt = np.zeros((f,), np.float32)
             np.add.at(cnt, win_np.reshape(-1), 1.0)
             if contiguous:
-                # fold 1/cnt into each window's slice, then accumulate with
-                # STATIC-index updates — XLA lowers these to pad+add
-                # elementwise fusions, no scatter
-                acc = jnp.zeros((b, f, h * w, c), jnp.float32)
-                for i, s in enumerate(starts):
-                    s = int(s)
-                    wgt = jnp.asarray(
-                        (1.0 / cnt[s : s + win_len])[None, :, None, None]
-                    )
-                    acc = acc.at[:, s : s + win_len].add(
-                        hid[:, i].astype(jnp.float32) * wgt
-                    )
-                hid = acc.astype(hid.dtype)
+                # piecewise static reassembly: group output frames into
+                # maximal runs covered by the same window set; a run covered
+                # by ONE window is a pure slice (no arithmetic), an overlap
+                # run is the f32 mean of its (typically two) window slices —
+                # one fused elementwise pass, ~1x bf16 write traffic.  The
+                # earlier formulation accumulated every window into a full
+                # (b, f, s, c) f32 buffer, ~4x the HBM traffic per motion
+                # module (~0.5 GB at top resolution for a 48-frame clip).
+                cover = [[] for _ in range(f)]  # frame -> [(win, pos)]
+                for wi, s in enumerate(starts):
+                    for p in range(win_len):
+                        cover[int(s) + p].append((wi, p))
+                key = [tuple((wi, p - fr) for wi, p in cover[fr]) for fr in range(f)]
+                segs, a = [], 0
+                for fr in range(1, f + 1):
+                    if fr == f or key[fr] != key[a]:
+                        runs = cover[a]  # [(win, pos-of-frame-a)]
+                        w0 = 1.0 / len(runs)
+                        parts = [
+                            lax.slice_in_dim(hid[:, wi], p, p + (fr - a), axis=1)
+                            for wi, p in runs
+                        ]
+                        if len(parts) == 1:
+                            segs.append(parts[0])
+                        else:
+                            acc = parts[0].astype(jnp.float32)
+                            for q in parts[1:]:
+                                acc = acc + q.astype(jnp.float32)
+                            segs.append((acc * w0).astype(hid.dtype))
+                        a = fr
+                hid = jnp.concatenate(segs, axis=1)  # (b, f, s, c)
             else:
                 win_j = jnp.asarray(win_np)
                 acc = jnp.zeros((b, f, h * w, c), jnp.float32)

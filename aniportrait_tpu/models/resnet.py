@@ -71,9 +71,15 @@ def group_norm(x, scale, bias, num_groups: int, epsilon: float = 1e-6):
     g = num_groups
     token_axes = tuple(range(1, x.ndim - 1))
     count = math.prod(x.shape[1:-1]) * (c // g)
+    # each reduction/normalise pass converts bf16->f32 INLINE (fused into
+    # its own consumer) rather than sharing one materialised f32 copy of x:
+    # a shared xf is 2x the HBM bytes on every read and showed up as pure
+    # convert/copy time in the device trace
+    s1 = jnp.sum(x, axis=token_axes, dtype=jnp.float32)  # (n, c) lane-aligned
+    s2 = jnp.sum(
+        jnp.square(x.astype(jnp.float32)), axis=token_axes
+    )
     xf = x.astype(jnp.float32)
-    s1 = jnp.sum(xf, axis=token_axes)             # (n, c) — lane-aligned
-    s2 = jnp.sum(jnp.square(xf), axis=token_axes)
     s1g = s1.reshape(n, g, c // g).sum(axis=-1)   # (n, g) — tiny
     s2g = s2.reshape(n, g, c // g).sum(axis=-1)
     mean = s1g / count                            # (n, g) f32

@@ -355,10 +355,13 @@ def main():
             return bench_pose2vid(steps=10, frames=16, res=256)
         if cfg == "vid2vid24":
             wf = "--window-fusion" in argv
+            wb = (int(argv[argv.index("--window-batch") + 1])
+                  if "--window-batch" in argv else 1)
             return bench_pose2vid(steps=25, frames=24, res=512,
                                   metric="vid2vid_frames_per_sec_512px_24f"
-                                  + ("_fused" if wf else ""),
-                                  window_fusion=wf)
+                                  + ("_fused" if wf else "")
+                                  + (f"_wb{wb}" if wb != 1 else ""),
+                                  window_fusion=wf, window_batch=wb)
         if cfg == "audio2vid":
             return bench_audio2vid(acc=False,
                                    window_fusion="--window-fusion" in argv)

@@ -120,6 +120,28 @@ def test_motion_module_zero_init_identity():
     np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=1e-6)
 
 
+def test_motion_module_windowed_piecewise_matches_gather(monkeypatch):
+    """The contiguous-window fast path (static slices + piecewise overlap
+    averaging) must match the general gather/scatter fallback on the same
+    overlapping table."""
+    import aniportrait_tpu.models.motion_module as mm_mod
+
+    mm = MotionModule(channels=32, heads=4)
+    x = jax.random.normal(KEY, (2, 10, 4, 4, 32))
+    params = mm.init(KEY, x)
+    # force non-identity proj_out so windowing effects reach the output
+    params = jax.tree.map(
+        lambda p: p + 0.05 if p.ndim == 2 else p, params
+    )
+    windows = np.array([[0, 1, 2, 3], [3, 4, 5, 6], [6, 7, 8, 9]], np.int32)
+    y_fast = mm.apply(params, x, windows=windows)
+    monkeypatch.setattr(mm_mod, "_FORCE_GATHER_FALLBACK", True)
+    y_ref = mm.apply(params, x, windows=windows)
+    np.testing.assert_allclose(
+        np.asarray(y_fast), np.asarray(y_ref), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_pose_guider_shapes():
     pg = PoseGuider(noise_latent_channels=32)
     pose = jnp.zeros((1, 2, 64, 64, 3))
