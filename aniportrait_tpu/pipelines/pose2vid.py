@@ -75,6 +75,7 @@ class Pose2VideoPipeline:
         mesh=None,
         encoder_cache_interval: int = 1,
         window_fusion: bool = False,
+        context_rotate: bool = True,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
         windows of each denoise step are sharded across it (the reference
@@ -100,7 +101,15 @@ class Pose2VideoPipeline:
         1.33x -> 1x.  Approximation: overlap averaging happens at each
         motion module instead of once at the UNet output; measured
         quality vs the exact path in BASELINE.md (scripts/
-        quality_speed_gate.py)."""
+        quality_speed_gate.py).
+
+        context_rotate: rotate the window table per denoise step by the
+        van-der-Corput phase, exactly like the reference scheduler
+        (context.py:7-12 via pipeline_pose2vid_long.py:487-517) — window
+        seams land on different frames each step.  Auto-disabled (fixed
+        step-0 table) in window-fusion mode (motion modules need ONE
+        static table) and when the encoder cache is active (cached
+        per-window features must refer to the same frames across steps)."""
         self.m = modules
         self.dtype = dtype
         self.context_frames = context_frames
@@ -110,6 +119,7 @@ class Pose2VideoPipeline:
         self.mesh = mesh
         self.encoder_cache_interval = int(encoder_cache_interval)
         self.window_fusion = bool(window_fusion)
+        self.context_rotate = bool(context_rotate)
         if mesh is not None:
             from aniportrait_tpu.parallel.mesh import replicate
 
@@ -279,6 +289,39 @@ class Pose2VideoPipeline:
             and int(win_len) == int(video_length)
         )
 
+        # per-step window rotation (reference parity: context.py:7-12 —
+        # the van-der-Corput phase moves window seams every denoise step).
+        # Only the exact multi-window path rotates; fusion needs one static
+        # table and the encoder cache needs stable frame<->slot mapping.
+        rotate = self.context_rotate and not single and k_cache <= 1
+        if rotate:
+            from aniportrait_tpu.pipelines.context import windows_for_all_steps
+
+            tabs = windows_for_all_steps(
+                steps, video_length, self.context_frames,
+                self.context_stride, self.context_overlap,
+            )
+            max_win = max(t.shape[0] for t in tabs)
+            pad_to = max_win + ((-max_win) % wb)
+
+            def _pad_tab(t):
+                nw = t.shape[0]
+                reps = 1 + (pad_to - 1) // nw
+                return (
+                    np.tile(t, (reps, 1))[:pad_to],
+                    np.arange(pad_to) < nw,
+                )
+
+            padded = [_pad_tab(t) for t in tabs]
+            windows_all_b = jnp.asarray(
+                np.stack([p[0] for p in padded])
+            ).reshape(steps, -1, wb, win_len)
+            valid_all_b = jnp.asarray(
+                np.stack([p[1] for p in padded])
+            ).reshape(steps, -1, wb)
+        else:
+            windows_all_b = valid_all_b = None
+
         def _window_inputs(latents, pose_fea, win):
             """Gather + CFG-double the per-window UNet inputs."""
             lat = latents[0][win]  # (wb, win_len, h, w, 4)
@@ -433,22 +476,31 @@ class Pose2VideoPipeline:
             else:
                 cache0 = None
 
-            def step(carry, t_and_i):
-                t, i = t_and_i
+            def step(carry, xs_):
+                if rotate:
+                    t, i, wt, vt = xs_
+                else:
+                    (t, i), wt, vt = xs_, None, None
                 latents, cache = carry
                 new_lat, new_cache = _one_step(
-                    den_params, latents, t, i, ctx_t, banks_t, pose_fea, cache
+                    den_params, latents, t, i, ctx_t, banks_t, pose_fea,
+                    cache, wt, vt,
                 )
                 return (new_lat, new_cache), None
 
-            (latents, _), _ = jax.lax.scan(
-                step, (latents, cache0),
-                (timesteps, jnp.arange(len(timesteps))),
+            xs_scan = (
+                (timesteps, jnp.arange(len(timesteps)), windows_all_b,
+                 valid_all_b)
+                if rotate
+                else (timesteps, jnp.arange(len(timesteps)))
             )
+            (latents, _), _ = jax.lax.scan(step, (latents, cache0), xs_scan)
             return latents
 
         def _one_step(den_params, latents, t, step_i, ctx_t, banks_t, pose_fea,
-                      cache):
+                      cache, win_tab=None, val_tab=None):
+            wtab = windows_b if win_tab is None else win_tab
+            vtab = valid_b if val_tab is None else val_tab
             acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
             noise_pred0 = jnp.zeros(acc_shape, jnp.float32)
             counter0 = jnp.zeros((1, video_length, 1, 1, 1), jnp.float32)
@@ -480,9 +532,9 @@ class Pose2VideoPipeline:
                 return (noise_pred, counter), new_cache
 
             xs = (
-                (windows_b, valid_b, cache)
+                (wtab, vtab, cache)
                 if k_cache > 1
-                else (windows_b, valid_b)
+                else (wtab, vtab)
             )
             (noise_pred, counter), new_cache = jax.lax.scan(
                 win_body, (noise_pred0, counter0), xs

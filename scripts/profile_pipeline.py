@@ -45,6 +45,9 @@ def main():
     trace_dir = "/tmp/anip_trace"
     if "--trace-dir" in sys.argv:
         trace_dir = sys.argv[sys.argv.index("--trace-dir") + 1]
+    n_frames = (int(sys.argv[sys.argv.index("--frames") + 1])
+                if "--frames" in sys.argv else 16)
+    fusion = "--window-fusion" in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -59,9 +62,10 @@ def main():
 
     defs = build_model_defs(size="full", use_motion_module=True, dtype=jnp.bfloat16)
     modules = _bf16_modules(defs)
-    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1)
+    pipe = Pose2VideoPipeline(modules, dtype=jnp.bfloat16, window_batch=1,
+                              window_fusion=fusion)
     rs = np.random.RandomState(0)
-    res, frames = 512, 16
+    res, frames = 512, n_frames
     ref = rs.randint(0, 255, (res, res, 3), np.uint8)
     poses = [rs.randint(0, 255, (res, res, 3), np.uint8) for _ in range(frames)]
     kw = dict(width=res, height=res, video_length=frames,

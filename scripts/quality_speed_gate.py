@@ -28,7 +28,8 @@ import time
 import numpy as np
 
 
-def _build(res, window_fusion=False, encoder_cache_interval=1):
+def _build(res, window_fusion=False, encoder_cache_interval=1,
+           context_rotate=True):
     import jax.numpy as jnp
 
     from aniportrait_tpu.factory import build_model_defs
@@ -41,6 +42,7 @@ def _build(res, window_fusion=False, encoder_cache_interval=1):
         modules, dtype=jnp.bfloat16, window_batch=1,
         encoder_cache_interval=encoder_cache_interval,
         window_fusion=window_fusion,
+        context_rotate=context_rotate,
     )
 
 
@@ -100,7 +102,11 @@ def main(argv=None):
     if not args.skip_fusion:
         poses = [rs.randint(0, 255, (res, res, 3), np.uint8)
                  for _ in range(args.win_frames)]
-        exact, fps_exact = timed(_build(res), poses, args.win_frames)
+        # fixed-table exact twin: fusion cannot rotate its window table, so
+        # the comparison isolates the fusion mechanism from table phase
+        exact, fps_exact = timed(
+            _build(res, context_rotate=False), poses, args.win_frames
+        )
         rows.append((
             f"windowed exact ({args.win_frames}f)", fps_exact, None, None
         ))
