@@ -167,10 +167,18 @@ class MotionModule(nn.Module):
                         if len(parts) == 1:
                             segs.append(parts[0])
                         else:
-                            acc = parts[0].astype(jnp.float32)
+                            # mean in the ACTIVATION dtype: an f32
+                            # accumulator here made XLA hoist the f32
+                            # convert into the producer fusions, so every
+                            # windowed block residual was WRITTEN f32 —
+                            # +0.7 s/clip of pure HBM traffic in the
+                            # 24-frame fused trace.  A 2-term bf16 mean
+                            # costs one rounding step (quality-gated with
+                            # the rest of the fused approximation).
+                            acc = parts[0]
                             for q in parts[1:]:
-                                acc = acc + q.astype(jnp.float32)
-                            segs.append((acc * w0).astype(hid.dtype))
+                                acc = acc + q
+                            segs.append(acc * jnp.asarray(w0, hid.dtype))
                         a = fr
                 hid = jnp.concatenate(segs, axis=1)  # (b, f, s, c)
             else:

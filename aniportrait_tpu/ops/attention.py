@@ -9,6 +9,7 @@ xformers/torch-SDPA path (reference ``src/models/attention.py`` +
 
 from __future__ import annotations
 
+import math
 import os
 
 import jax
@@ -129,7 +130,11 @@ def temporal_attention_4d(
     """
     b, f, s, c = q.shape
     d = c // heads
-    P = 128 // f if 2 <= f <= 128 and 128 % f == 0 else 0
+    # P spatial positions packed per kernel tile: the largest power of two
+    # with f*P <= 128 (power of two so it divides the spatial extent; tiles
+    # under-fill 128 rows when 128 % f != 0, e.g. f=24 -> P=4, 96 rows —
+    # still far cheaper than the transpose fallback below)
+    P = 1 << int(math.log2(128 // f)) if 2 <= f <= 64 else 0
     if P and s % P == 0 and _on_accelerator():
         from aniportrait_tpu.ops.pallas_attention import nat_packed
 

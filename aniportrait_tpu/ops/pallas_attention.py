@@ -1257,12 +1257,16 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
 def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
                                   interpret: bool = False):
     """Temporal attention over (b*f, s, c) activations in natural layout
-    (pre-scaled q).  Requires 128 % frames == 0 and s % (P*nb) == 0 with
-    P = 128 // frames; the caller gates on that."""
+    (pre-scaled q).  Packs P spatial positions per tile with
+    P = largest power of two <= 128 // frames (a power of two so it divides
+    the spatial extent); requires s % (P*nb) == 0 — the caller gates on
+    that.  For 128 % frames == 0 the f*P tile fills all 128 rows; other
+    frame counts (e.g. the whole-clip 24-frame fused mode) run at
+    f*P/128 row occupancy, still transpose-free."""
     bf, s, c = qbf.shape
     b = bf // frames
     d = c // heads
-    P = 128 // frames
+    P = 1 << int(math.log2(128 // frames))
     nb = max(1, (8 * 320) // c)
     while s % (P * nb):
         nb //= 2

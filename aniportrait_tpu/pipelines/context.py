@@ -101,6 +101,36 @@ def uniform_context_windows(
     return np.asarray(wins, dtype=np.int32)
 
 
+def wide_motion_windows(
+    num_frames: int,
+    max_len: int = 32,
+    min_overlap: int = 4,
+) -> np.ndarray:
+    """Minimal-slot contiguous windowing for the window-FUSED mode's motion
+    modules: the fewest windows of length ``w <= max_len`` (the motion PE
+    limit, configs/inference/inference_v2.yaml:20) covering ``0..num_frames``
+    with pairwise overlap ``>= min_overlap``.
+
+    The exact path must window at the reference's 16/4 (1.33x frame-slots);
+    the fused mode is already an overlap-averaging approximation (quality-
+    gated), so its motion windows are free to be wider: for 48 frames this
+    yields 2 windows of 26 (52 slots, 1.08x) instead of 4 windows of 16
+    (64 slots, 1.33x) — less temporal-attention work AND fewer overlap
+    seams.  Returns an (n_win, w) int32 array of contiguous windows.
+    """
+    if num_frames <= max_len:
+        return np.arange(num_frames, dtype=np.int32)[None]
+    # smallest k with k*max_len - min_overlap*(k-1) >= num_frames
+    k = int(np.ceil((num_frames - min_overlap) / (max_len - min_overlap)))
+    w = int(np.ceil((num_frames + min_overlap * (k - 1)) / k))
+    # uniformly spread starts; rounding keeps overlap >= min_overlap because
+    # w was chosen for the worst (uniform real-valued) spacing
+    starts = np.round(np.linspace(0, num_frames - w, k)).astype(np.int64)
+    return (starts[:, None] + np.arange(w, dtype=np.int64)[None]).astype(
+        np.int32
+    )
+
+
 def windows_for_all_steps(
     num_steps: int,
     num_frames: int,

@@ -75,6 +75,7 @@ class Pose2VideoPipeline:
         mesh=None,
         encoder_cache_interval: int = 1,
         window_fusion: bool = False,
+        fusion_motion: str = "auto",
         context_rotate: bool = True,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
@@ -103,6 +104,16 @@ class Pose2VideoPipeline:
         quality vs the exact path in BASELINE.md (scripts/
         quality_speed_gate.py).
 
+        fusion_motion: how the fused mode windows its motion modules.
+          'auto' (default) — whole-clip temporal attention when
+            L <= motion PE max (32): the reference's own fixed-length
+            pipeline semantics (pipeline_pose2vid.py; its stage-2
+            validation runs 16-24 frames whole-clip); else the fewest
+            windows of length <= 32 with overlap >= context_overlap
+            (context.wide_motion_windows, ~1.08x slots at 48 frames).
+          'context' — the exact path's context window table (16/4), the
+            most conservative fusion (only the averaging point moves).
+
         context_rotate: rotate the window table per denoise step by the
         van-der-Corput phase, exactly like the reference scheduler
         (context.py:7-12 via pipeline_pose2vid_long.py:487-517) — window
@@ -119,6 +130,7 @@ class Pose2VideoPipeline:
         self.mesh = mesh
         self.encoder_cache_interval = int(encoder_cache_interval)
         self.window_fusion = bool(window_fusion)
+        self.fusion_motion = fusion_motion
         self.context_rotate = bool(context_rotate)
         if mesh is not None:
             from aniportrait_tpu.parallel.mesh import replicate
@@ -235,8 +247,29 @@ class Pose2VideoPipeline:
         )
         # STATIC (numpy) window table for the motion modules: contiguous
         # windows then lower to slices + fused pad-adds instead of
-        # gather/scatter-add HBM passes (motion_module.py)
-        motion_windows = windows_np if fused else None
+        # gather/scatter-add HBM passes (motion_module.py).  Fused mode is
+        # free to re-window WIDER than the exact path's 16/4 (it is already
+        # an overlap-averaging approximation, quality-gated in BASELINE.md):
+        #   * L <= motion PE max (32): NO windows — whole-clip temporal
+        #     attention, which is the reference's own fixed-length pipeline
+        #     semantics (pipeline_pose2vid.py, its stage-2 validation runs
+        #     16-24 frames whole-clip) — zero window overhead;
+        #   * L > 32: fewest windows of length <= 32 with overlap >= 4
+        #     (wide_motion_windows) — 1.08x frame-slots at 48 frames
+        #     instead of the 16/4 table's 1.33x.
+        motion_windows = None
+        if fused:
+            pe_max = getattr(m.denoising_unet, "motion_pe_max_len", 32)
+            if self.fusion_motion == "context":
+                motion_windows = windows_np
+            elif video_length > pe_max:
+                from aniportrait_tpu.pipelines.context import (
+                    wide_motion_windows,
+                )
+
+                motion_windows = wide_motion_windows(
+                    video_length, pe_max, max(self.context_overlap, 1)
+                )
         # fused mode runs ONE whole-clip UNet call per step: banks/context
         # tile to the clip's (2 if CFG else 1) rows, not window-batch rows
         wb = (

@@ -28,20 +28,28 @@ import time
 import numpy as np
 
 
+_MODULES = None
+
+
 def _build(res, window_fusion=False, encoder_cache_interval=1,
-           context_rotate=True):
+           context_rotate=True, fusion_motion="auto"):
     import jax.numpy as jnp
 
     from aniportrait_tpu.factory import build_model_defs
     from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
     from bench import _bf16_modules
 
-    defs = build_model_defs(size="full", use_motion_module=True, dtype=jnp.bfloat16)
-    modules = _bf16_modules(defs)
+    global _MODULES
+    if _MODULES is None:
+        defs = build_model_defs(
+            size="full", use_motion_module=True, dtype=jnp.bfloat16
+        )
+        _MODULES = _bf16_modules(defs)
     return Pose2VideoPipeline(
-        modules, dtype=jnp.bfloat16, window_batch=1,
+        _MODULES, dtype=jnp.bfloat16, window_batch=1,
         encoder_cache_interval=encoder_cache_interval,
         window_fusion=window_fusion,
+        fusion_motion=fusion_motion,
         context_rotate=context_rotate,
     )
 
@@ -62,6 +70,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=25)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--win-frames", type=int, default=24)
+    ap.add_argument("--long-frames", type=int, default=0,
+                    help="also gate the wide-window fusion at this length "
+                         "(e.g. 48, the audio2vid clip)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-enc-cache", action="store_true")
     ap.add_argument("--skip-fusion", action="store_true")
@@ -110,9 +121,36 @@ def main(argv=None):
         rows.append((
             f"windowed exact ({args.win_frames}f)", fps_exact, None, None
         ))
+        # two fusion variants (pipelines/pose2vid.py fusion_motion):
+        #   'context' — motion modules keep the exact path's window table
+        #   'auto'    — whole-clip temporal attention (L <= PE max 32; the
+        #               reference's fixed-length pipeline semantics)
+        out, fps = timed(
+            _build(res, window_fusion=True, fusion_motion="context"),
+            poses, args.win_frames,
+        )
+        ps, ss = _metrics(out, exact)
+        rows.append(("window fusion (motion=context)", fps, ps, ss))
         out, fps = timed(_build(res, window_fusion=True), poses, args.win_frames)
         ps, ss = _metrics(out, exact)
-        rows.append(("window fusion", fps, ps, ss))
+        rows.append(("window fusion (auto: whole-clip)", fps, ps, ss))
+
+    if args.long_frames:
+        # the audio2vid-length clip: fused motion re-windows WIDE
+        # (context.wide_motion_windows, e.g. 48f -> 2 windows of 26)
+        poses = [rs.randint(0, 255, (res, res, 3), np.uint8)
+                 for _ in range(args.long_frames)]
+        exact, fps_exact = timed(
+            _build(res, context_rotate=False), poses, args.long_frames
+        )
+        rows.append((
+            f"windowed exact ({args.long_frames}f)", fps_exact, None, None
+        ))
+        out, fps = timed(
+            _build(res, window_fusion=True), poses, args.long_frames
+        )
+        ps, ss = _metrics(out, exact)
+        rows.append(("window fusion (auto: wide windows)", fps, ps, ss))
 
     print("| mode | frames/s | PSNR vs exact (dB) | SSIM vs exact |")
     print("|---|---|---|---|")

@@ -138,7 +138,7 @@ def test_window_fusion_nonoverlap_matches_exact(pipeline):
     )
     fused = Pose2VideoPipeline(
         pipeline.m, context_frames=4, context_overlap=0, window_batch=2,
-        window_fusion=True,
+        window_fusion=True, fusion_motion="context",
     )
     rs = np.random.RandomState(3)
     ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
@@ -150,6 +150,52 @@ def test_window_fusion_nonoverlap_matches_exact(pipeline):
     np.testing.assert_allclose(v_fused, v_exact, atol=2 / 255.0)
 
 
+def test_window_fusion_auto_whole_clip_matches_fixed(pipeline):
+    """fusion_motion='auto' with L <= motion PE max runs whole-clip temporal
+    attention — exactly the fixed-length (windowed=False) pipeline, i.e.
+    the reference's pipeline_pose2vid.py semantics.  Outputs must match."""
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    fused = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=2, window_batch=2,
+        window_fusion=True,  # fusion_motion='auto' default
+    )
+    rs = np.random.RandomState(6)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(6)]
+    kw = dict(width=64, height=64, video_length=6, num_inference_steps=2,
+              guidance_scale=3.5, seed=4, decode_chunk=2)
+    v_auto = fused(ref, poses, None, **kw)
+    v_fixed = pipeline(ref, poses, None, windowed=False, **kw)
+    np.testing.assert_allclose(v_auto, v_fixed, atol=2 / 255.0)
+
+
+def test_window_fusion_auto_wide_windows(pipeline):
+    """fusion_motion='auto' with L > motion PE max re-windows the motion
+    modules with context.wide_motion_windows — finite, in-range,
+    deterministic output (the approximation is quality-gated on chip)."""
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    fused = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=2, window_batch=2,
+        window_fusion=True,
+    )
+    # pin a small PE limit so L=10 exceeds it without a 33-frame test clip
+    object.__setattr__(fused.m.denoising_unet, "motion_pe_max_len", 8)
+    try:
+        rs = np.random.RandomState(7)
+        ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+        poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(10)]
+        kw = dict(width=64, height=64, video_length=10, num_inference_steps=2,
+                  guidance_scale=3.5, seed=4, decode_chunk=2)
+        v1 = fused(ref, poses, None, **kw)
+        assert v1.shape == (10, 64, 64, 3)
+        assert np.isfinite(v1).all()
+        assert v1.min() >= 0.0 and v1.max() <= 1.0
+    finally:
+        object.__setattr__(fused.m.denoising_unet, "motion_pe_max_len", 32)
+
+
 def test_window_fusion_overlap_sane(pipeline):
     """Overlapping windows: fusion is the documented approximation — output
     must be finite, in range, and deterministic."""
@@ -157,7 +203,7 @@ def test_window_fusion_overlap_sane(pipeline):
 
     fused = Pose2VideoPipeline(
         pipeline.m, context_frames=4, context_overlap=2, window_batch=2,
-        window_fusion=True,
+        window_fusion=True, fusion_motion="context",
     )
     rs = np.random.RandomState(4)
     ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
