@@ -123,6 +123,36 @@ class CrossAttention(nn.Module):
         return nn.Dense(inner, use_bias=True, dtype=self.dtype, name="to_out_0")(out)
 
 
+class _GegluProj(nn.Module):
+    """``Dense(2N)`` evaluated as two N-wide dots + gelu-multiply.
+
+    Same params (``kernel (C, 2N)``, ``bias (2N,)``) and bit-identical dot
+    math as a single Dense followed by split — but the single-Dense form
+    made XLA write AND re-read the full 2N-wide intermediate (671 MB each
+    way per top-res FF call in the r3 trace, ~1.5 ms of the 2.7 ms call);
+    as two dots the gelu-multiply fuses into the gate dot's epilogue and
+    only the N-wide halves touch HBM."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.dim_out
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (jnp.shape(x)[-1], 2 * n),
+            jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (2 * n,),
+                       jnp.float32)
+        x, w, b = nn.dtypes.promote_dtype(x, w, b, dtype=self.dtype)
+        h = x @ w[:, :n] + b[:n]
+        gate = x @ w[:, n:] + b[n:]
+        return h * nn.gelu(gate)
+
+
 class GEGLU(nn.Module):
     """x -> proj -> split -> x * gelu(gate). Torch name: ``proj``."""
 
@@ -131,9 +161,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        return _GegluProj(self.dim_out, dtype=self.dtype, name="proj")(x)
 
 
 class FeedForward(nn.Module):

@@ -63,7 +63,11 @@ def small_seq_attention(
         # ~4 x 0.8 ms of pure HBM transpose copies per 64x64 attention call.
         from aniportrait_tpu.ops.pallas_attention import ctg_packed
 
-        qs = (q * scale).reshape(b, s, c)
+        # base-2 softmax contract (see _ctg_kernel): log2e folds into the
+        # prescale so the kernel's exp lowering drops its hidden multiply
+        qs = (q * (scale * jnp.asarray(math.log2(math.e), q.dtype))).reshape(
+            b, s, c
+        )
         ks = k.reshape(b, s, c)
         vs = v.reshape(b, s, c)
         pad_b = (-b) % g
@@ -138,7 +142,9 @@ def temporal_attention_4d(
     if P and s % P == 0 and _on_accelerator():
         from aniportrait_tpu.ops.pallas_attention import nat_packed
 
-        scale = jnp.asarray(d ** -0.5, q.dtype)
+        # base-2 softmax contract: fold log2(e) into the existing prescale
+        # so the kernel's exp lowering drops its hidden multiply
+        scale = jnp.asarray(math.log2(math.e) * d ** -0.5, q.dtype)
         out = nat_packed(
             (q * scale).reshape(b * f, s, c),
             k.reshape(b * f, s, c),

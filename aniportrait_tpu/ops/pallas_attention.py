@@ -729,10 +729,9 @@ def _tokns_fwd_kernel(
     at head_dim >= 80 (res/2 1024q/3072kv d80: 1.47x; d128 experiment:
     2.17x), loses slightly at d=40 (0.93-0.95x) where the extra N=1 MXU
     pass for l costs as much as the whole d=40 PV matmul — and loses to
-    the bounded-softmax kernel at EVERY measured shape, so ``tok_flash``
-    uses bounded; this kernel is kept as the measured record of the
-    experiment (and as the better choice if a head_dim >= 80 workload
-    ever outgrows the bound precompute).
+    the bounded-softmax and unshifted kernels at EVERY measured shape, so
+    ``tok_flash`` uses unshifted; this kernel is kept as the measured
+    record of the experiment.
 
     Exactness: post-LayerNorm logits are O(10); f32 exp only overflows
     past ~88.7 and l only degrades below ~1e-30.  The kernel returns the
@@ -856,6 +855,137 @@ def flash_attention_tokens_noshift(
     )
 
 
+def _tokf_fwd_kernel(
+    block_kv, skv, n_kv, heads, d, need_mask,
+    q_ref, k_ref, v_ref,
+    o_ref, l_out_ref,
+    acc_ref, l_ref,
+):
+    """Unshifted exp2 flash forward: ``p = exp2(logits2)`` with NO shift at
+    all — the per-logit VPU floor (exp2 + sum-accumulate + bf16 convert).
+
+    Combines the two halves that each lost separately: the no-shift kernel
+    (``_tokns_fwd_kernel``) dropped the subtract but paid an extra N=1 MXU
+    pass for l; the bounded kernel kept a per-logit subtract to buy
+    guaranteed-no-overflow.  Here l accumulates on the VPU like the bounded
+    kernel and nothing is subtracted: softmax is shift-invariant, so the
+    result is bit-comparable whenever exp2 neither overflows (true max
+    logit2 > 127 — post-LayerNorm logits are O(10) base-2) nor flushes an
+    entire row to zero (all logits2 < ~-126).  The caller checks the
+    returned denominators and falls back to the running-max kernel on
+    either failure, so the output is ALWAYS exact."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, C) pre-scaled by log2(e)/sqrt(d)
+    k = k_ref[0]  # (bkv, C)
+    v = v_ref[0]
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bkv) f32, base-2 scaled
+        if need_mask:
+            cols = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, logits.shape, 1
+            )
+            logits = jnp.where(cols < skv, logits, NEG_INF)
+        p = jnp.exp2(logits)
+        l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:, sl] += jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = []
+        for h in range(heads):
+            l = l_ref[:, h : h + 1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
+        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
+        l_out_ref[0] = l_ref[:]
+
+
+def flash_attention_tokens_unshifted(
+    q, k, v, heads: int, block_q: int = 512, block_kv: int = 1024,
+    interpret: bool = False,
+):
+    """Token-layout flash with the unshifted exp2 fast path + runtime
+    guard (see ``_tokf_fwd_kernel``).  Returns exactly what
+    ``flash_attention_tokens`` returns; recomputes with the running-max
+    kernel iff any denominator over- or underflowed."""
+    b, sq, c = q.shape
+    skv = k.shape[1]
+    d = c // heads
+    scale2 = math.log2(math.e) / math.sqrt(d)
+    qs = q * jnp.asarray(scale2, q.dtype)
+    if c > 320:
+        block_q = max(128, (block_q * 320 // c) // 128 * 128)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    bkv = min(block_kv, max(128, ((skv + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    skv_p = ((skv + bkv - 1) // bkv) * bkv
+    n_q, n_kv = sq_p // bq, skv_p // bkv
+    qp = _pad_to(qs, sq_p, 1)
+    kp = _pad_to(k, skv_p, 1)
+    vp = _pad_to(v, skv_p, 1)
+
+    kernel = functools.partial(
+        _tokf_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv
+    )
+    out, l = pl.pallas_call(
+        kernel,
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            jax.ShapeDtypeStruct((b, sq_p, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    out = out[:, :sq]
+    lv = l[:, :sq, :heads]
+    ok = jnp.logical_and(
+        jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))
+    )
+    return jax.lax.cond(
+        ok,
+        lambda: out,
+        lambda: flash_attention_tokens(
+            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            interpret=interpret,
+        ),
+    )
+
+
 def _tokb_fwd_kernel(
     block_kv, skv, n_kv, heads, d, need_mask,
     q_ref, k_ref, v_ref, bound_ref,
@@ -933,13 +1063,33 @@ def _tokb_fwd_kernel(
 
 def _bounds_cauchy_schwarz(q, k, heads, d, scale, sq_p):
     """Per-(batch, q-token, head) logit upper bound scale*|q_h|*max|k_h|,
-    laid out (B, Sq_p, 128) f32 with head h in lane column h."""
+    laid out (B, Sq_p, 128) f32 with head h in lane column h.
+
+    The per-head sum of squares is computed as ``(x*x) @ S`` with S a
+    (C, heads) 0/1 head-selector — the square fuses into the dot's operand
+    read and the MXU does the d-lane group reduce.  The naive
+    ``reshape(b,s,h,d).sum(-1)`` form made XLA materialise a full f32 copy
+    of q AND k plus a {2,1,0}->{1,2,0} layout copy just to get the d axis
+    into sublanes (~1.3 ms per cond 64x64 call, ~0.35 s/clip in the r3
+    trace).  f32 rounding of the fused square perturbs the bound by <1e-6
+    relative — softmax is shift-invariant, so any such bound stays exact
+    as long as it neither underflows (caller's l-guard) nor overflows
+    exp2 (would need a true max logit ~2^14, unreachable in bf16
+    activations).
+    """
     b, sq, c = q.shape
-    qh = q.reshape(b, sq, heads, d).astype(jnp.float32)
-    qn = jnp.sqrt(jnp.sum(qh * qh, axis=-1))  # (b, sq, h)
-    kh = k.reshape(b, k.shape[1], heads, d).astype(jnp.float32)
-    kn = jnp.sqrt(jnp.max(jnp.sum(kh * kh, axis=-1), axis=1))  # (b, h)
-    m = scale * qn * kn[:, None, :]  # (b, sq, h)
+    sel = (
+        jnp.arange(c)[:, None] // d == jnp.arange(heads)[None, :]
+    ).astype(jnp.float32)  # (C, heads) head selector
+    dn = (((2,), (0,)), ((), ()))
+    qf = q.astype(jnp.float32)
+    qn2 = jax.lax.dot_general(qf * qf, sel, dn,
+                              preferred_element_type=jnp.float32)
+    kf = k.astype(jnp.float32)
+    kn2 = jax.lax.dot_general(kf * kf, sel, dn,
+                              preferred_element_type=jnp.float32)
+    kn = jnp.sqrt(jnp.max(kn2, axis=1))  # (b, h)
+    m = scale * jnp.sqrt(qn2) * kn[:, None, :]  # (b, sq, h)
     m = jnp.pad(m, ((0, 0), (0, sq_p - sq), (0, 128 - heads)))
     return m
 
@@ -1024,14 +1174,16 @@ def flash_attention_tokens_bounded(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
-    """Differentiable token-layout flash attention: bounded-softmax Pallas
+    """Differentiable token-layout flash attention: UNSHIFTED exp2 Pallas
     forward — the chip A/B (scripts/bench_tok_kernel.py) measured it
-    fastest at EVERY hot shape (d40 cond 16.2 vs 19.5 running-max / 20.9
-    no-shift ms; d40 uncond 10.2 vs 11.8 / 12.4; d80 res/2 4.8 vs 7.7 /
-    5.3) — guarded exact (falls back to the running-max kernel if the
-    Cauchy-Schwarz shift underflowed the softmax).  Backward via the
-    head-folded flash VJP (recompute; training only)."""
-    return flash_attention_tokens_bounded(
+    fastest at EVERY hot shape (d40 cond 15.21 vs 15.72 bounded / 19.09
+    running-max ms; d40 uncond 9.63 vs 9.70 / 11.33; d80 res/2 4.26 vs
+    4.48 / 7.15), and it deletes the Cauchy-Schwarz bound precompute the
+    bounded kernel needs — guarded exact (falls back to the running-max
+    kernel if any softmax denominator over- or underflowed without the
+    shift).  Backward via the head-folded flash VJP (recompute; training
+    only)."""
+    return flash_attention_tokens_unshifted(
         q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
         interpret=interpret,
     )
@@ -1154,17 +1306,16 @@ def _ctg_kernel(s, heads, d, q_ref, k_ref, v_ref, o_ref):
         logits = jax.lax.dot_general(
             q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (nb, t, t)
+        )  # (nb, t, t) base-2 scaled (q pre-multiplied by log2e/sqrt(d))
         logits = jnp.where(same[None], logits, -1e9)
         m = jnp.max(logits, axis=2, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=2, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+        p = jnp.exp2(logits - m)
+        r = 1.0 / jnp.sum(p, axis=2, keepdims=True)  # (nb, t, 1)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        outs.append(pv * r)
     o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
@@ -1215,7 +1366,15 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
     regrouped to (nb, f*P, c) rows where row r = fi*P + pi; a sequence is a
     fixed position pi, so rows attend iff (r % P) == (r' % P) — an
     interleaved block-diagonal mask.  Heads live in the lane axis and are
-    attended independently per in-kernel lane slice; q is pre-scaled."""
+    attended independently per in-kernel lane slice.
+
+    Like the bounded token kernel, this kernel is per-logit VPU-bound (the
+    t x t logits outnumber the t x d outputs 3x at d=40), so the softmax
+    uses the same two tricks: q arrives pre-scaled by ``log2(e)/sqrt(d)``
+    and the kernel exponentiates with ``exp2`` (deletes the multiply inside
+    the VPU's exp lowering), and probabilities are normalised AFTER the PV
+    matmul — one reciprocal-multiply per (row, d) output element instead of
+    a divide per (row, t) logit."""
     t = f * P
 
     def rows(ref):
@@ -1235,17 +1394,16 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
         logits = jax.lax.dot_general(
             q[..., sl], k[..., sl], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        )  # base-2 scaled (q pre-multiplied by log2e/sqrt(d))
         logits = jnp.where(same[None], logits, -1e9)
         m = jnp.max(logits, axis=2, keepdims=True)
-        p = jnp.exp(logits - m)
-        p = p / jnp.sum(p, axis=2, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
+        p = jnp.exp2(logits - m)
+        r = 1.0 / jnp.sum(p, axis=2, keepdims=True)  # (nb, t, 1)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[..., sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        outs.append(pv * r)
     out = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)  # (nb, t, c)
     c = o_ref.shape[-1]
     o_ref[:] = (
@@ -1257,7 +1415,8 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
 def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
                                   interpret: bool = False):
     """Temporal attention over (b*f, s, c) activations in natural layout
-    (pre-scaled q).  Packs P spatial positions per tile with
+    (q pre-scaled by ``log2(e)/sqrt(d)`` — base-2 softmax contract, see
+    ``_nat_kernel``).  Packs P spatial positions per tile with
     P = largest power of two <= 128 // frames (a power of two so it divides
     the spatial extent); requires s % (P*nb) == 0 — the caller gates on
     that.  For 128 % frames == 0 the f*P tile fills all 128 rows; other
@@ -1294,7 +1453,9 @@ def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
 
 def _nat_xla_core(frames, heads, qbf, kbf, vbf):
     """XLA reference of the natural-layout kernel math — custom-VJP
-    backward and CPU tests."""
+    backward and CPU tests.  Same base-2 contract as the kernel: q arrives
+    pre-scaled by ``log2(e)/sqrt(d)``, so the base-e softmax runs on
+    ``logits * ln(2)`` (softmax2(x) == softmaxE(x * ln2))."""
     bf, s, c = qbf.shape
     b = bf // frames
     d = c // heads
@@ -1307,7 +1468,7 @@ def _nat_xla_core(frames, heads, qbf, kbf, vbf):
     logits = jnp.einsum(
         "bshfd,bshgd->bshfg", q, k, preferred_element_type=jnp.float32
     )
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    probs = jax.nn.softmax(logits * math.log(2.0), axis=-1).astype(v.dtype)
     out = jnp.einsum("bshfg,bshgd->bshfd", probs, v)
     return (
         out.transpose(0, 3, 1, 2, 4).reshape(bf, s, c).astype(qbf.dtype)
@@ -1355,7 +1516,8 @@ def _ctg_xla_core(seq, heads, qp, kp, vp):
         "nhtd,nhsd->nhts", q, k, preferred_element_type=jnp.float32
     )
     logits = jnp.where(same[None, None], logits, -1e9)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    # base-2 contract (q pre-scaled by log2e/sqrt(d)), as _ctg_kernel
+    probs = jax.nn.softmax(logits * math.log(2.0), axis=-1).astype(v.dtype)
     out = jnp.einsum("nhts,nhsd->nhtd", probs, v)
     return out.transpose(0, 2, 1, 3).reshape(n, t, c).astype(qp.dtype)
 

@@ -6,15 +6,18 @@ conserves padded passes can help.
 
 Measured (1x v5e, 2026-08, ms/call at the driver shapes):
 
-    shape                      runmax   noshift   bounded
-    cond 4096q/8192kv d40       19.45     20.85     16.18
-    uncond 4096q/4096kv d40     11.77     12.36     10.17
-    res2 1024q/3072kv d80        7.72      5.26      4.78
-    padding-exp same-seq d128   58.47     26.97       —
+    shape                      runmax   noshift   bounded  unshifted
+    cond 4096q/8192kv d40       19.09     20.74     15.72      15.21
+    uncond 4096q/4096kv d40     11.33     12.20      9.70       9.63
+    res2 1024q/3072kv d80        7.15      4.62      4.48       4.26
+    padding-exp same-seq d128   58.17     26.68     26.99      26.52
 
-The bounded-softmax kernel is fastest at every hot shape (the running max
-loses to the fixed shift's pipeline overlap; the no-shift MXU-l variant
-loses because its extra N=1 matmul costs a full d=40 PV pass).  The d=128
+The UNSHIFTED exp2 kernel is fastest at every hot shape (no per-logit
+shift subtract at all, guarded by a post-hoc over/underflow check that
+reroutes to the running-max kernel), and it also deletes the bounded
+kernel's Cauchy-Schwarz precompute.  The running max loses to both fixed
+shifts' pipeline overlap; the no-shift MXU-l variant loses because its
+extra N=1 matmul costs a full d=40 PV pass.  The d=128
 experiment answers VERDICT r2 item 1: the same (rows, seq) problem at
 d=128 runs 81.5 useful TF/s vs 33 at d=40 — wall-clock tracks per-logit
 VPU work, not padded MXU passes, so head-packing schemes that conserve
@@ -34,12 +37,14 @@ from aniportrait_tpu.ops.pallas_attention import (
     flash_attention_tokens,
     flash_attention_tokens_bounded,
     flash_attention_tokens_noshift,
+    flash_attention_tokens_unshifted,
 )
 
 KERNELS = {
     "runmax": flash_attention_tokens,
     "bounded": flash_attention_tokens_bounded,
     "noshift": flash_attention_tokens_noshift,
+    "unshifted": flash_attention_tokens_unshifted,
 }
 
 

@@ -163,7 +163,8 @@ def test_natural_temporal_pallas_matches_xla(b, f, s, c, heads):
     k = jnp.asarray(rs.randn(b, f, s, c).astype(np.float32))
     v = jnp.asarray(rs.randn(b, f, s, c).astype(np.float32))
 
-    scale = d ** -0.5
+    # base-2 contract: kernel + XLA core take q pre-scaled by log2e/sqrt(d)
+    scale = np.log2(np.e) * d ** -0.5
     qs = (q * scale).reshape(b * f, s, c)
     kf = k.reshape(b * f, s, c)
     vf = v.reshape(b * f, s, c)
@@ -390,6 +391,103 @@ def test_bounded_tokens_flash_guard_fallback():
             q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
         )
         out = flash_attention_tokens_bounded(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    # all logits equal -> uniform average of v
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+    uniform = np.broadcast_to(
+        np.asarray(jnp.mean(v, 1, keepdims=True)), out.shape
+    )
+    np.testing.assert_allclose(np.asarray(out), uniform, atol=2e-5, rtol=1e-4)
+
+
+def test_unshifted_tokens_flash_matches_plain():
+    """Unshifted exp2 fast path (no softmax shift at all) == running-max
+    kernel to f32 precision; includes uneven KV tail."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_unshifted,
+    )
+
+    rs = np.random.RandomState(9)
+    B, H, D = 2, 4, 16
+    C = H * D
+    for sq, skv in [(32, 32), (32, 48), (48, 40)]:
+        q = jnp.asarray(rs.randn(B, sq, C).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            ref = flash_attention_tokens(
+                q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+            )
+            out = flash_attention_tokens_unshifted(
+                q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+            )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_unshifted_tokens_flash_guard_fallback_overflow():
+    """Logits past the f32 exp2 range (aligned huge q/k -> exp2(+big) =
+    inf): the finiteness guard must reroute to the running-max kernel and
+    still return the exact result (one-hot attention on the dominant
+    token)."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_unshifted,
+    )
+
+    rs = np.random.RandomState(10)
+    B, S, H, D = 1, 16, 1, 8
+    C = H * D
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e3
+    k = (0.01 * rs.randn(B, S, C)).astype(np.float32)
+    k[:, 3, 0] = 1.0  # dominant token: logit2 >> 127, exp2 -> inf
+    v = rs.randn(B, S, C).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        out = flash_attention_tokens_unshifted(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.broadcast_to(np.asarray(v[:, 3:4]), out.shape),
+        atol=2e-4, rtol=1e-3,
+    )
+
+
+def test_unshifted_tokens_flash_guard_fallback_underflow():
+    """A row whose every logit2 is below -126 flushes l to zero without a
+    shift; the l-guard must reroute to the running-max kernel."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_unshifted,
+    )
+
+    rs = np.random.RandomState(11)
+    B, S, H, D = 1, 16, 1, 8
+    C = H * D
+    # strongly anti-aligned q/k: all logits ~ -1e3 -> exp2 flushes to 0
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e3
+    k = np.zeros((B, S, C), np.float32)
+    k[..., 0] = -1.0
+    v = rs.randn(B, S, C).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    with jax.default_matmul_precision("highest"):
+        ref = flash_attention_tokens(
+            q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+        out = flash_attention_tokens_unshifted(
             q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
         )
     # all logits equal -> uniform average of v
