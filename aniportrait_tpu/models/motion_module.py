@@ -106,6 +106,18 @@ class MotionModule(nn.Module):
         if windows is not None:
             n_win, win_len = windows.shape
             win_np = np.asarray(windows)  # STATIC table (pipeline passes numpy)
+            # every frame must be covered by >= 1 window: an uncovered frame
+            # would divide by zero in the overlap reassembly below (trace-time
+            # ZeroDivisionError on the contiguous path, silent NaN on the
+            # gather path) — fail loudly at trace time instead
+            cov = np.zeros((f,), np.int64)
+            np.add.at(cov, win_np.reshape(-1), 1)
+            if (cov == 0).any():
+                raise ValueError(
+                    "motion window table leaves frames uncovered: "
+                    f"{np.nonzero(cov == 0)[0].tolist()} (of {f} frames; "
+                    f"table shape {win_np.shape})"
+                )
             starts = win_np[:, 0]
             contiguous = bool(
                 (win_np == starts[:, None] + np.arange(win_len)[None]).all()

@@ -794,6 +794,10 @@ def flash_attention_tokens_noshift(
     skv = k.shape[1]
     d = c // heads
     scale = 1.0 / math.sqrt(d)
+    # caller-supplied block sizes, kept for the fallback call: the fallback
+    # applies its own c>320 VMEM shrink, so passing the already-shrunk value
+    # would shrink twice (512->256->128)
+    block_q0, block_kv0 = block_q, block_kv
     # scale the q block down with channel width: at C=640 the 512-row block
     # plus the ones-lane tile exceeded the 16M scoped-VMEM budget by ~0.5M
     if c > 320:
@@ -842,14 +846,18 @@ def flash_attention_tokens_noshift(
     )(qp, kp, vp)
     out = out[:, :sq]
     lv = l[:, :sq, :heads]
+    # l finite+positive is not sufficient: the f32 PV accumulator can
+    # overflow to inf while l stays finite (logits ~87-88 with |v| > 1), so
+    # the "ALWAYS exact" contract also requires a finite output
     ok = jnp.logical_and(
-        jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))
+        jnp.logical_and(jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))),
+        jnp.all(jnp.isfinite(out.astype(jnp.float32))),
     )
     return jax.lax.cond(
         ok,
         lambda: out,
         lambda: flash_attention_tokens(
-            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            q, k, v, heads=heads, block_q=block_q0, block_kv=block_kv0,
             interpret=interpret,
         ),
     )
@@ -927,6 +935,9 @@ def flash_attention_tokens_unshifted(
     d = c // heads
     scale2 = math.log2(math.e) / math.sqrt(d)
     qs = q * jnp.asarray(scale2, q.dtype)
+    # caller-supplied block sizes for the fallback (which re-applies the
+    # same c>320 shrink — see flash_attention_tokens_noshift)
+    block_q0, block_kv0 = block_q, block_kv
     if c > 320:
         block_q = max(128, (block_q * 320 // c) // 128 * 128)
     bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
@@ -973,14 +984,16 @@ def flash_attention_tokens_unshifted(
     )(qp, kp, vp)
     out = out[:, :sq]
     lv = l[:, :sq, :heads]
+    # guard the PV-accumulator overflow crack too (see noshift variant)
     ok = jnp.logical_and(
-        jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))
+        jnp.logical_and(jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))),
+        jnp.all(jnp.isfinite(out.astype(jnp.float32))),
     )
     return jax.lax.cond(
         ok,
         lambda: out,
         lambda: flash_attention_tokens(
-            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            q, k, v, heads=heads, block_q=block_q0, block_kv=block_kv0,
             interpret=interpret,
         ),
     )
@@ -1110,6 +1123,8 @@ def flash_attention_tokens_bounded(
     # rounding of q in its own dtype (<=1 ulp) — well under bf16 noise.
     scale2 = math.log2(math.e) / math.sqrt(d)
     qs = q * jnp.asarray(scale2, q.dtype)  # q itself feeds the fallback
+    # caller-supplied block sizes for the fallback (re-applies its own shrink)
+    block_q0, block_kv0 = block_q, block_kv
     # scale the q block down with channel width to stay inside the 16M
     # scoped VMEM budget (same rule as the other token-layout kernels)
     if c > 320:
@@ -1161,12 +1176,14 @@ def flash_attention_tokens_bounded(
         interpret=interpret,
     )(qp, kp, vp, bounds)
     out = out[:, :sq]
+    # p = exp2(logits - bound) <= 1 per logit here, so the PV accumulator
+    # cannot overflow while l stays positive — the l check alone suffices
     ok = jnp.min(l[:, :sq, :heads]) > 1e-30
     return jax.lax.cond(
         ok,
         lambda: out,
         lambda: flash_attention_tokens(
-            q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+            q, k, v, heads=heads, block_q=block_q0, block_kv=block_kv0,
             interpret=interpret,
         ),
     )

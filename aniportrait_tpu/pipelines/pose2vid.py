@@ -76,7 +76,7 @@ class Pose2VideoPipeline:
         encoder_cache_interval: int = 1,
         window_fusion: bool = False,
         fusion_motion: str = "auto",
-        context_rotate: bool = True,
+        context_rotate: bool = False,
     ):
         """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — context
         windows of each denoise step are sharded across it (the reference
@@ -114,13 +114,18 @@ class Pose2VideoPipeline:
           'context' — the exact path's context window table (16/4), the
             most conservative fusion (only the averaging point moves).
 
-        context_rotate: rotate the window table per denoise step by the
-        van-der-Corput phase, exactly like the reference scheduler
-        (context.py:7-12 via pipeline_pose2vid_long.py:487-517) — window
-        seams land on different frames each step.  Auto-disabled (fixed
-        step-0 table) in window-fusion mode (motion modules need ONE
-        static table) and when the encoder cache is active (cached
-        per-window features must refer to the same frames across steps)."""
+        context_rotate: OPT-IN (default off): rotate the window table per
+        denoise step by the van-der-Corput phase (context.py:7-12) so
+        window seams land on different frames each step.  NOT reference
+        behavior: the reference's scheduler supports rotation but both its
+        call sites hardcode step 0 (pipeline_pose2vid_long.py:488,500), so
+        its window table is identical every denoise step — the exact
+        default path here matches that.  Rotation is a quality experiment
+        on top; quality-gate it against the step-0 exact path before
+        production use.  Auto-disabled (fixed step-0 table) in
+        window-fusion mode (motion modules need ONE static table) and when
+        the encoder cache is active (cached per-window features must refer
+        to the same frames across steps)."""
         self.m = modules
         self.dtype = dtype
         self.context_frames = context_frames
@@ -238,10 +243,11 @@ class Pose2VideoPipeline:
         windows = jnp.asarray(windows)  # (n_win, win_len)
         n_win, win_len = windows.shape
         # window-fused mode: ONE whole-clip UNet pass per step; the motion
-        # modules window internally (see __init__ docstring)
+        # modules window internally (see __init__ docstring).  Composes with
+        # the device mesh: the whole-clip pass shards over CFG-pair x
+        # frame-block rows (see the mesh2 derivation below).
         fused = (
             self.window_fusion
-            and self.mesh is None
             and windowed
             and n_win > 1
         )
@@ -270,11 +276,56 @@ class Pose2VideoPipeline:
                 motion_windows = wide_motion_windows(
                     video_length, pe_max, max(self.context_overlap, 1)
                 )
+        # whole-clip case (L <= context window, e.g. the 16-frame driver
+        # config) — one window covering frames 0..L-1 — or window-fused
+        # mode: both run ONE whole-clip UNet call per step and skip the
+        # gather/scatter-add/counter machinery entirely (the iota gather and
+        # scatter-add are pure copies XLA does not always elide)
+        single = fused or (n_win == 1 and int(win_len) == int(video_length))
+
+        # mesh composition for the whole-clip pass: everything in the UNet
+        # except the motion modules is per-frame, so the natural shard is
+        # CFG-pair x frame blocks — a 2-D view of the SAME devices.  The
+        # (b, f, ...) -> (b*f, ...) frame folds inside the UNet merge
+        # cfg-major/frames-minor, which is exactly the 2-D mesh's device
+        # order, so GSPMD propagates the sharding through the folds without
+        # resharding; only the motion modules' temporal attention (frames
+        # axis) and window-overlap means trigger collectives.  This is what
+        # lets window fusion (1.0-1.08x frame-slots) COMPOSE with the 8-chip
+        # mesh instead of excluding it (the exact windowed path shards
+        # window rows instead, 1.33x slots).
+        if self.mesh is not None and single:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            n_dev = self.mesh.devices.size
+            cfg_ways = 2 if (do_cfg and n_dev % 2 == 0) else 1
+            mesh2 = Mesh(
+                self.mesh.devices.reshape(cfg_ways, n_dev // cfg_ways),
+                ("cfg", "frames"),
+            )
+            _s_rows = NamedSharding(mesh2, P("cfg", "frames"))
+            _s_lat = NamedSharding(mesh2, P(None, "frames"))
+            _s_cfg = NamedSharding(mesh2, P("cfg"))
+
+            def shard_rows(x):
+                return jax.lax.with_sharding_constraint(x, _s_rows)
+
+            def shard_lat(x):
+                return jax.lax.with_sharding_constraint(x, _s_lat)
+
+            def shard_cfg_tree(tree):
+                return jax.tree.map(
+                    lambda v: jax.lax.with_sharding_constraint(v, _s_cfg), tree
+                )
+        else:
+            shard_rows = shard_lat = lambda x: x
+            shard_cfg_tree = lambda tree: tree
+
         # fused mode runs ONE whole-clip UNet call per step: banks/context
         # tile to the clip's (2 if CFG else 1) rows, not window-batch rows
         wb = (
             1
-            if fused
+            if single
             else self.window_batch
             if self.mesh is not None
             else min(self.window_batch, n_win)
@@ -312,20 +363,12 @@ class Pose2VideoPipeline:
             return ctx, banks_t
 
         k_cache = max(1, self.encoder_cache_interval)
-        # whole-clip case (L <= context window, e.g. the 16-frame driver
-        # config): one window covering frames 0..L-1 — skip the
-        # gather/scatter-add/counter machinery entirely (the iota gather and
-        # scatter-add are pure copies XLA does not always elide)
-        single = fused or (
-            self.mesh is None
-            and windows.shape[0] == 1
-            and int(win_len) == int(video_length)
-        )
 
-        # per-step window rotation (reference parity: context.py:7-12 —
-        # the van-der-Corput phase moves window seams every denoise step).
-        # Only the exact multi-window path rotates; fusion needs one static
-        # table and the encoder cache needs stable frame<->slot mapping.
+        # OPT-IN per-step window rotation (NOT reference behavior: the
+        # reference hardcodes step 0 at pipeline_pose2vid_long.py:488,500,
+        # so its table never rotates — see __init__ docstring).
+        # Only the exact multi-window path can rotate; fusion needs one
+        # static table and the encoder cache needs stable frame<->slot maps.
         rotate = self.context_rotate and not single and k_cache <= 1
         if rotate:
             from aniportrait_tpu.pipelines.context import windows_for_all_steps
@@ -418,12 +461,15 @@ class Pose2VideoPipeline:
         def _one_step_single(den_params, latents, t, step_i, ctx_t, banks_t,
                              pose_fea, cache):
             """Whole-clip denoise step: latents (1, L, h, w, 4) go through
-            the UNet directly (CFG-doubled), no window indexing."""
+            the UNet directly (CFG-doubled), no window indexing.  Under a
+            mesh, rows shard as CFG x frame blocks (see mesh2 above)."""
             lat = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
             pose_w = [
                 jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf
                 for pf in pose_fea
             ]
+            lat = shard_rows(lat)
+            pose_w = [shard_rows(pw) for pw in pose_w]
             if k_cache > 1:
                 refresh = (step_i % k_cache) == 0
                 enc = jax.lax.cond(
@@ -445,13 +491,18 @@ class Pose2VideoPipeline:
                 pu, pc = jnp.split(pred, 2, axis=0)
                 pred = pu + guidance_scale * (pc - pu)
             new_latents = sched.step(pred, t, latents, num_inference_steps=steps)
-            return new_latents, enc
+            return shard_lat(new_latents), enc
 
         def sample_impl(den_params, latents, ctx_cfg, banks, pose_fea):
             n_rows = (2 if do_cfg else 1) * wb
             ctx_t, banks_t = tile_cfg(ctx_cfg, banks, n_rows)
 
             if single:
+                # co-locate each CFG row's banks/context with its device
+                # group; latents carry frame-block sharding through the scan
+                ctx_t = shard_cfg_tree(ctx_t)
+                banks_t = shard_cfg_tree(banks_t)
+                latents = shard_lat(latents)
                 if k_cache > 1:
                     pose_w0 = [
                         jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf

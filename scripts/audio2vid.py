@@ -40,6 +40,12 @@ def parse_args():
              "(quality-gated approximation; "
              "scripts/quality_speed_gate.py)",
     )
+    parser.add_argument(
+        "--force_approx", action="store_true",
+        help="run approximations past the measured quality gate "
+             "(utils/quality_gate.py refuses encoder cache k>=3 "
+             "without this)",
+    )
     parser.add_argument("--fps", type=int, default=30)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
@@ -109,7 +115,8 @@ def main():
 
     (a2m, a2m_params), (a2p, a2p_params) = load_audio_models(audio_cfg)
     pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
-                         window_fusion=args.window_fusion)
+                         window_fusion=args.window_fusion,
+                         force_approx=args.force_approx)
 
     width, height = args.W, args.H
     date_str = datetime.now().strftime("%Y%m%d")

@@ -29,7 +29,8 @@ import numpy as np
 
 
 def projection_table(slot_rate: float, window=16, overlap=4, chips=8):
-    """The v5e-8 arithmetic, printed so BASELINE.md can cite it."""
+    """The v5e-8 arithmetic for the EXACT windowed path, printed so
+    BASELINE.md can cite it."""
     rows = []
     for L in (48, 120, 300):
         n_win = -(-(L - overlap) // (window - overlap))
@@ -39,6 +40,29 @@ def projection_table(slot_rate: float, window=16, overlap=4, chips=8):
         slots_per_frame = (pad_units / 2) * window / L
         fps = chips * slot_rate / slots_per_frame
         rows.append((L, n_win, pad_units / units, slots_per_frame, fps))
+    return rows
+
+
+def projection_table_fused(slot_rate: float, fused_eff: float, chips=8):
+    """v5e-8 arithmetic for the FUSED whole-clip path sharded CFG-pair x
+    frame-blocks (pipelines/pose2vid.py mesh2).
+
+    slot_rate: measured single-chip frames/s at the 16-frame whole-clip
+    config (a frame = its CFG pair of UNet rows).
+    fused_eff: measured single-chip fused f/s divided by slot_rate at the
+    same L — folds in the motion re-window overhead (wide_motion_windows,
+    1.0-1.08x slots) and the per-module overlap means.
+
+    Aggregate rate = chips * slot_rate * fused_eff frames/s; the only pack
+    loss is padding L to a multiple of the frame ways (chips/2 at CFG 2):
+        fps(L) = chips * slot_rate * fused_eff * L / pad(L)."""
+    rows = []
+    frame_ways = chips // 2
+    for L in (48, 120, 300):
+        pad_frames = -(-L // frame_ways) * frame_ways
+        pack = L / pad_frames
+        fps = chips * slot_rate * fused_eff * pack
+        rows.append((L, pad_frames, pack, fps))
     return rows
 
 
@@ -65,10 +89,10 @@ def main():
     kw = dict(width=32, height=32, video_length=8, num_inference_steps=2,
               guidance_scale=3.5, seed=0, windowed=True, decode_chunk=4)
 
-    def run_inference(mesh, wb):
+    def run_inference(mesh, wb, fused=False):
         pipe = Pose2VideoPipeline(
             modules, context_frames=4, context_overlap=2,
-            window_batch=wb, mesh=mesh,
+            window_batch=wb, mesh=mesh, window_fusion=fused,
         )
         ctx = mesh if mesh is not None else _null()
         with ctx:
@@ -96,6 +120,18 @@ def main():
         print(f"  {n} devices: warm {t:.2f}s  max|Δ| {err:.2e}  {ok}")
         assert err <= 2 / 255.0 + 1e-12, err
 
+    print("FUSED sampler (whole-clip pass, cfg x frame-block sharded):")
+    base_fused, t1 = run_inference(None, 1, fused=True)
+    print(f"  1 device : warm {t1:.2f}s  (reference output)")
+    for n in (2, 4, 8):
+        mesh = make_mesh(n)
+        video, t = run_inference(mesh, max(n // 2, 1), fused=True)
+        err = float(np.abs(video.astype(np.float64) -
+                           base_fused.astype(np.float64)).max())
+        ok = "parity OK" if err <= 2 / 255.0 + 1e-12 else f"PARITY FAIL {err}"
+        print(f"  {n} devices: warm {t:.2f}s  max|Δ| {err:.2e}  {ok}")
+        assert err <= 2 / 255.0 + 1e-12, err
+
     # --- train step at 2/4/8 ---------------------------------------------
     print("stage-1 train step (micro, dryrun_multichip):")
     for n in (2, 4, 8):
@@ -105,12 +141,23 @@ def main():
 
     # --- the projection ---------------------------------------------------
     slot_rate = 1.73  # measured single-chip f/s, single-window config (BASELINE.md)
-    print(f"\nv5e-8 projection (slot rate {slot_rate} f/s per chip, window 16/4):")
+    print(f"\nv5e-8 EXACT projection (slot rate {slot_rate} f/s per chip, window 16/4):")
     print("  L    windows  pack-eff  slots/frame  projected f/s  (vs 1.0 A100 model)")
     for L, n_win, pack, spf, fps in projection_table(slot_rate):
         print(
             f"  {L:<4} {n_win:<8} {1/pack:<9.2f} {spf:<12.2f} {fps:<14.2f} {fps:.1f}x"
         )
+
+    # fused_eff: measured single-chip fused f/s / slot rate at 48 frames
+    # (BASELINE.md quality/fusion tables) — motion re-window + overlap means
+    fused_eff = 1.488 / slot_rate
+    print(
+        f"\nv5e-8 FUSED projection (slot rate {slot_rate}, fused eff "
+        f"{fused_eff:.2f} from the measured 48f fused run):"
+    )
+    print("  L    pad-frames  pack-eff  projected f/s  (vs 1.0 A100 model)")
+    for L, pad, pack, fps in projection_table_fused(slot_rate, fused_eff):
+        print(f"  {L:<4} {pad:<11} {pack:<9.2f} {fps:<14.2f} {fps:.1f}x")
 
 
 if __name__ == "__main__":

@@ -55,12 +55,24 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
                   encoder_cache_interval: int = 1,
                   random_init: bool = False,
                   size: str = "full",
-                  window_fusion: bool = False) -> Pose2VideoPipeline:
+                  window_fusion: bool = False,
+                  force_approx: bool = False) -> Pose2VideoPipeline:
     """config: a prompt YAML (configs/prompts/animation*.yaml shape).
 
     ``random_init=True`` skips the checkpoint zoo (random weights, real
     architectures; ``size`` picks the factory preset) — for smoke runs and
-    serving tests in images without the weights."""
+    serving tests in images without the weights.
+
+    Approximations (encoder cache, window fusion) pass through the measured
+    quality gate (utils/quality_gate.py): divergence beyond the gated
+    regime refuses to run unless ``force_approx``."""
+    from aniportrait_tpu.utils.quality_gate import enforce_approximation_gate
+
+    enforce_approximation_gate(
+        encoder_cache_interval=encoder_cache_interval,
+        window_fusion=window_fusion,
+        force=force_approx,
+    )
     infer_cfg = load_config(str(config.inference_config))
     uk = infer_cfg.unet_additional_kwargs
     mk = uk.motion_module_kwargs

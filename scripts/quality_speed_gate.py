@@ -32,7 +32,7 @@ _MODULES = None
 
 
 def _build(res, window_fusion=False, encoder_cache_interval=1,
-           context_rotate=True, fusion_motion="auto"):
+           context_rotate=False, fusion_motion="auto"):
     import jax.numpy as jnp
 
     from aniportrait_tpu.factory import build_model_defs
@@ -76,6 +76,13 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-enc-cache", action="store_true")
     ap.add_argument("--skip-fusion", action="store_true")
+    ap.add_argument(
+        "--check", action="store_true",
+        help="compare the fresh measurements against the stored gate table "
+             "(docs/quality_gate*.json) and exit 1 if any approximation's "
+             "divergence regressed beyond tolerance — a kernel change that "
+             "silently hurts an approximate path should fail here, not ship",
+    )
     args = ap.parse_args(argv)
 
     from aniportrait_tpu.utils.jax_setup import setup
@@ -168,6 +175,17 @@ def main(argv=None):
     if args.out:
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)
+    if args.check:
+        from aniportrait_tpu.utils.quality_gate import check_regression
+
+        problems = check_regression(report)
+        if problems:
+            print("\nQUALITY GATE REGRESSION:", file=sys.stderr)
+            for p in problems:
+                print(" -", p, file=sys.stderr)
+            return 1
+        print("gate check OK: no divergence regression vs stored table",
+              file=sys.stderr)
     return 0
 
 

@@ -168,7 +168,7 @@ def parse_multipart(headers, body: bytes):
     return fields
 
 
-def make_handler(store, worker, upload_dir, out_dir, defaults):
+def make_handler(store, worker, upload_dir, out_dir, defaults, max_queue=8):
     def save_upload(item):
         if not isinstance(item, tuple):
             return None
@@ -239,6 +239,23 @@ def make_handler(store, worker, upload_dir, out_dir, defaults):
             if self.path not in ("/api/audio2video", "/api/video2video"):
                 self._json({"error": "not found"}, 404)
                 return
+            # graceful degradation under load: refuse NEW work with a 503
+            # (+ Retry-After) once the single-accelerator queue is full,
+            # instead of accepting unbounded jobs whose uploads pile up in
+            # tmp and whose wait times silently grow
+            if worker.q.qsize() >= max_queue:
+                data = json.dumps({
+                    "error": "server at capacity "
+                             f"({worker.q.qsize()} jobs queued, max {max_queue}); "
+                             "retry later",
+                }).encode()
+                self.send_response(503)
+                self.send_header("Retry-After", "30")
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
             length = int(self.headers.get("Content-Length", 0))
             body = self.rfile.read(length)
             try:
@@ -268,10 +285,13 @@ def make_handler(store, worker, upload_dir, out_dir, defaults):
     return Handler
 
 
-def build_server(handlers, host="127.0.0.1", port=7860, out_dir="output/serve"):
+def build_server(handlers, host="127.0.0.1", port=7860, out_dir="output/serve",
+                 max_queue=8):
     """handlers: {'audio2video': fn, 'video2video': fn} — each fn takes the
     parsed request kwargs (+ out_dir) and returns the result file path.
-    Injectable so tests can run the HTTP layer without models."""
+    Injectable so tests can run the HTTP layer without models.
+    max_queue: jobs allowed to wait for the single accelerator worker;
+    POSTs beyond it get a 503 + Retry-After."""
     os.makedirs(out_dir, exist_ok=True)
     upload_dir = tempfile.mkdtemp(prefix="aniportrait_uploads_")
     store = JobStore()
@@ -280,11 +300,29 @@ def build_server(handlers, host="127.0.0.1", port=7860, out_dir="output/serve"):
     httpd = ThreadingHTTPServer(
         (host, port), make_handler(store, worker, upload_dir, out_dir, defaults={
             "size": 512, "steps": 25, "length": 150,
-        })
+        }, max_queue=max_queue)
     )
     httpd.job_store = store
     httpd.worker = worker
     return httpd
+
+
+def preload_compile(models, size=512, steps=25, length=150):
+    """Warm-compile the serving pipeline before accepting traffic: runs one
+    synthetic generation at the default serving shape so the first request
+    does not pay the jit compile (~minutes at 512² cold).  Requests at a
+    DIFFERENT (length, size, steps) still compile their own sampler bucket
+    on first use — the pipeline caches per shape."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    ref = rs.randint(0, 255, (size, size, 3), np.uint8)
+    poses = [rs.randint(0, 255, (size, size, 3), np.uint8)
+             for _ in range(length)]
+    t0 = time.time()
+    models.pipe(ref, poses, None, size, size, length, steps, 3.5, seed=0)
+    print(f"preload: compiled {size}x{size}/{length}f/{steps}step serving "
+          f"shape in {time.time() - t0:.0f}s")
 
 
 def model_handlers(models):
@@ -318,6 +356,15 @@ def main():
                     help="random weights (no checkpoint zoo) — smoke runs")
     ap.add_argument("--size", default="full",
                     help="factory size preset (full/tiny/micro)")
+    ap.add_argument("--max-queue", type=int, default=8,
+                    help="jobs allowed to queue for the accelerator; "
+                         "POSTs beyond it get 503 + Retry-After")
+    ap.add_argument("--preload", action="store_true",
+                    help="warm-compile the default serving shape "
+                         "(512x512/150f/25step) before accepting traffic "
+                         "so the first request isn't a compile surprise")
+    ap.add_argument("--preload-shape", default=None, metavar="SIZExLENxSTEPS",
+                    help="override the preload shape, e.g. 512x48x25")
     args = ap.parse_args()
 
     from scripts.serving_core import load_serving_models
@@ -325,9 +372,16 @@ def main():
     models = load_serving_models(
         args.config, random_init=args.random_init, size=args.size
     )
+    if args.preload or args.preload_shape:
+        size, length, steps = (
+            map(int, args.preload_shape.split("x"))
+            if args.preload_shape
+            else (512, 150, 25)
+        )
+        preload_compile(models, size=size, steps=steps, length=length)
     httpd = build_server(
         model_handlers(models), host=args.host, port=args.port,
-        out_dir=args.out_dir,
+        out_dir=args.out_dir, max_queue=args.max_queue,
     )
     print(f"serving on http://{args.host}:{args.port}")
     httpd.serve_forever()

@@ -44,6 +44,7 @@ def main(argv=None):
     problems: list[str] = []
 
     def run(family, sd, convert, tree, **kw):
+        before = len(problems)  # per-family status, not the global tally
         converted, unused = convert(sd, **kw)
         if family == "reference_unet":
             head = {"conv_norm_out.weight", "conv_norm_out.bias",
@@ -54,7 +55,8 @@ def main(argv=None):
                 f"{family}: {len(unused)} torch keys NOT consumed, e.g. {unused[:5]}"
             )
         problems.extend(check_bijection(converted, tree, family))
-        print(f"checked {family}: {'OK' if not problems else 'see problems'}")
+        status = "OK" if len(problems) == before else "see problems"
+        print(f"checked {family}: {status}")
         return converted
 
     vae_sd = load_torch_state_dict(_find_weights(str(cfg.pretrained_vae_path)))

@@ -39,6 +39,12 @@ def parse_args():
              "(quality-gated approximation; "
              "scripts/quality_speed_gate.py)",
     )
+    parser.add_argument(
+        "--force_approx", action="store_true",
+        help="run approximations past the measured quality gate "
+             "(utils/quality_gate.py refuses encoder cache k>=3 "
+             "without this)",
+    )
     parser.add_argument("--fps", type=int, default=None)
     parser.add_argument("-acc", "--accelerate", action="store_true")
     parser.add_argument("--fi_step", type=int, default=3)
@@ -107,7 +113,8 @@ def main():
     args = parse_args()
     config = load_config(args.config)
     pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
-                         window_fusion=args.window_fusion)
+                         window_fusion=args.window_fusion,
+                         force_approx=args.force_approx)
 
     width, height = args.W, args.H
     date_str = datetime.now().strftime("%Y%m%d")

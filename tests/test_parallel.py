@@ -47,6 +47,62 @@ def test_window_sharded_pipeline_matches_single_device():
     np.testing.assert_allclose(v1, v2, atol=1.5 / 255)
 
 
+def test_fused_sharded_pipeline_matches_single_device():
+    """Window FUSION composes with the mesh (VERDICT r3 item 1): the fused
+    whole-clip pass sharded CFG-pair x frame-blocks must match the fused
+    single-device output."""
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    defs = build_model_defs(size="tiny", use_motion_module=True)
+    modules = init_random_params(defs)
+
+    rs = np.random.RandomState(0)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(8)]
+    kw = dict(width=64, height=64, video_length=8, num_inference_steps=1,
+              guidance_scale=3.5, seed=3, decode_chunk=2)
+
+    plain = Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2, window_fusion=True
+    )
+    v1 = plain(ref, poses, None, **kw)
+
+    mesh = make_mesh(8)
+    sharded = Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2, mesh=mesh,
+        window_fusion=True,
+    )
+    with mesh:
+        v2 = sharded(ref, poses, None, **kw)
+    np.testing.assert_allclose(v1, v2, atol=1.5 / 255)
+
+
+def test_single_window_sharded_matches_single_device():
+    """The whole-clip (L <= context) path now also shards over the mesh
+    (cfg x frame blocks) instead of running 4x-redundant padded windows."""
+    from aniportrait_tpu.factory import build_model_defs, init_random_params
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    defs = build_model_defs(size="tiny", use_motion_module=True)
+    modules = init_random_params(defs)
+
+    rs = np.random.RandomState(2)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(8)]
+    kw = dict(width=64, height=64, video_length=8, num_inference_steps=1,
+              guidance_scale=3.5, seed=5, decode_chunk=2)
+
+    plain = Pose2VideoPipeline(modules)  # context 16 > 8 frames -> single
+    v1 = plain(ref, poses, None, **kw)
+
+    mesh = make_mesh(8)
+    sharded = Pose2VideoPipeline(modules, mesh=mesh)
+    with mesh:
+        v2 = sharded(ref, poses, None, **kw)
+    np.testing.assert_allclose(v1, v2, atol=1.5 / 255)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g

@@ -110,3 +110,45 @@ def test_compare_videos_and_gate_cli(tmp_path):
 
     assert main([str(ours_d), str(ref_d), "--min-psnr", "30"]) == 0
     assert main([str(ours_d), str(ref_d), "--min-psnr", "99"]) == 1
+
+
+def test_approximation_gate_policy(tmp_path, capsys):
+    """The measured gate policy is CODE, not prose (VERDICT r3 item 5):
+    k=2/fusion warn with the measured dB; k>=3 refuses without force."""
+    from aniportrait_tpu.utils.quality_gate import (
+        check_regression,
+        enforce_approximation_gate,
+        load_gate_table,
+    )
+
+    # exact path: silent
+    assert enforce_approximation_gate(1, False) == []
+
+    # the shipped measured table exists and has the gated modes
+    table = load_gate_table()
+    assert any("encoder cache k=2" in m for m in table)
+    assert any("window fusion" in m for m in table)
+
+    w = enforce_approximation_gate(2, False)
+    assert len(w) == 1 and "37" in w[0]  # measured ~37.2 dB printed
+    w = enforce_approximation_gate(1, True)
+    assert len(w) == 1 and "48" in w[0]  # measured ~48.1 dB printed
+
+    with pytest.raises(ValueError, match="force_approx"):
+        enforce_approximation_gate(3, False)
+    w = enforce_approximation_gate(3, False, force=True)
+    assert len(w) == 1 and "FORCED" in w[0]
+
+    # missing table directory: still warns, still refuses k>=3
+    empty = str(tmp_path)
+    w = enforce_approximation_gate(2, True, table_dir=empty)
+    assert len(w) == 2
+    with pytest.raises(ValueError):
+        enforce_approximation_gate(3, False, table_dir=empty)
+
+    # regression checker: same numbers pass, a 2 dB drop fails
+    fresh = [dict(r) for r in table.values() if r.get("psnr")]
+    assert check_regression(fresh) == []
+    fresh[0]["psnr"] -= 2.0
+    problems = check_regression(fresh)
+    assert len(problems) == 1 and "PSNR regressed" in problems[0]

@@ -219,3 +219,102 @@ def test_serve_end_to_end_micro(tmp_path):
         assert code == 200 and len(mp4) > 200
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_requests_serialized(tmp_path):
+    """Two simultaneous requests must not interleave on the accelerator
+    (VERDICT r3 item 8): the single worker owns the device, so handler
+    executions are strictly sequential even when POSTs race."""
+    from scripts.serve import build_server
+
+    active = []
+    overlaps = []
+    lock = threading.Lock()
+
+    def a2v(ref_img_rgb, input_audio, out_dir, headpose_video=None, **kw):
+        with lock:
+            if active:
+                overlaps.append(tuple(active))
+            active.append(kw["seed"])
+        time.sleep(0.2)  # long enough for the other request to be running
+        with lock:
+            active.remove(kw["seed"])
+        path = f"{out_dir}/r{kw['seed']}.mp4"
+        with open(path, "wb") as f:
+            f.write(b"FAKE")
+        return path
+
+    httpd = build_server(
+        {"audio2video": a2v, "video2video": a2v},
+        host="127.0.0.1", port=0, out_dir=str(tmp_path),
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        jids = []
+
+        def post(seed):
+            body, ctype = _multipart({
+                "ref_image": ("ref.png", _png_bytes()),
+                "audio": ("a.wav", b"RIFFxxxxWAVE"),
+                "seed": str(seed),
+            })
+            code, data = _post(f"{base}/api/audio2video", body, ctype)
+            assert code == 202
+            jids.append(json.loads(data)["id"])
+
+        threads = [threading.Thread(target=post, args=(s,)) for s in (1, 2, 3)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        for jid in jids:
+            _wait_job(base, jid, "done")
+        assert not overlaps, f"handlers interleaved on the device: {overlaps}"
+    finally:
+        httpd.shutdown()
+
+
+def test_503_over_capacity(tmp_path):
+    """POSTs beyond max_queue get 503 + Retry-After, and the server keeps
+    serving reads (graceful degradation, VERDICT r3 item 8)."""
+    from scripts.serve import build_server
+
+    release = threading.Event()
+
+    def slow(ref_img_rgb, input_audio, out_dir, headpose_video=None, **kw):
+        release.wait(10)
+        path = f"{out_dir}/r.mp4"
+        with open(path, "wb") as f:
+            f.write(b"FAKE")
+        return path
+
+    httpd = build_server(
+        {"audio2video": slow, "video2video": slow},
+        host="127.0.0.1", port=0, out_dir=str(tmp_path), max_queue=1,
+    )
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        body, ctype = _multipart({
+            "ref_image": ("ref.png", _png_bytes()),
+            "audio": ("a.wav", b"RIFFxxxxWAVE"),
+        })
+        codes = []
+        # first fills the worker (or queue), second fills the queue,
+        # third must be refused: qsize >= 1 once two are outstanding
+        for _ in range(4):
+            code, data = _post(f"{base}/api/audio2video", body, ctype)
+            codes.append(code)
+        assert 503 in codes, codes
+        assert codes[0] == 202  # first one accepted
+        body503 = json.loads(data) if codes[-1] == 503 else None
+        if body503:
+            assert "capacity" in body503["error"]
+        code, _ = _get(f"{base}/healthz")  # reads still served
+        assert code == 200
+    finally:
+        release.set()
+        httpd.shutdown()
