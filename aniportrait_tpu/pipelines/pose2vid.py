@@ -398,23 +398,45 @@ class Pose2VideoPipeline:
         else:
             windows_all_b = valid_all_b = None
 
-        def _window_inputs(latents, pose_fea, win):
-            """Gather + CFG-double the per-window UNet inputs."""
-            lat = latents[0][win]  # (wb, win_len, h, w, 4)
-            lat = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
-            pose_w = [
-                jnp.concatenate([pf[0][win]] * 2, axis=0) if do_cfg else pf[0][win]
-                for pf in pose_fea
-            ]
+        def _shard_win(x):
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
-                shard = NamedSharding(self.mesh, P("data"))
-                lat = jax.lax.with_sharding_constraint(lat, shard)
-                pose_w = [
-                    jax.lax.with_sharding_constraint(pw, shard) for pw in pose_w
-                ]
-            return lat, pose_w
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P("data"))
+                )
+            return x
+
+        def _shard_win_all(x):
+            """Shard a stacked (n_batches, rows, ...) window table on rows."""
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, P(None, "data"))
+                )
+            return x
+
+        def _window_lat(latents, win):
+            """Gather + CFG-double the per-window latents (changes per step)."""
+            lat = latents[0][win]  # (wb, win_len, h, w, 4)
+            lat = jnp.concatenate([lat] * 2, axis=0) if do_cfg else lat
+            return _shard_win(lat)
+
+        def _window_pose(pose_fea, win):
+            """Gather + CFG-double the per-window pose features.  Constant
+            across denoise steps — call once per window table and feed the
+            result through the scan as xs (the previous per-step gather +
+            CFG-double re-materialised the whole pose pyramid every step:
+            ~300 MB of HBM copies/step at 24 frames)."""
+            return [
+                _shard_win(
+                    jnp.concatenate([pf[0][win]] * 2, axis=0)
+                    if do_cfg
+                    else pf[0][win]
+                )
+                for pf in pose_fea
+            ]
 
         def _unet_apply(den_params, lat, t, ctx, banks_t, pose_w, **kw):
             b = lat.shape[0]
@@ -435,13 +457,14 @@ class Pose2VideoPipeline:
             )
             return out
 
-        def unet_on_windows(den_params, latents, t, ctx, banks_t, pose_fea,
+        def unet_on_windows(den_params, latents, t, ctx, banks_t, pose_w,
                             win, valid, refresh=None, enc_cache=None):
             """win: (wb, win_len) frame indices; returns (pred, new_cache).
-            ctx/banks_t are already tiled to the window-batch rows.  With
-            the encoder cache active, down+mid features are recomputed only
-            when ``refresh`` is True, else ``enc_cache`` is reused."""
-            lat, pose_w = _window_inputs(latents, pose_fea, win)
+            ctx/banks_t are already tiled to the window-batch rows; pose_w is
+            the pre-gathered CFG-doubled pose pyramid for this window batch.
+            With the encoder cache active, down+mid features are recomputed
+            only when ``refresh`` is True, else ``enc_cache`` is reused."""
+            lat = _window_lat(latents, win)
             if k_cache <= 1:
                 pred = _unet_apply(den_params, lat, t, ctx, banks_t, pose_w)
                 return pred, None
@@ -459,17 +482,16 @@ class Pose2VideoPipeline:
             return pred, enc  # (b, win_len, h, w, 4), cache pytree
 
         def _one_step_single(den_params, latents, t, step_i, ctx_t, banks_t,
-                             pose_fea, cache):
+                             pose_w, cache):
             """Whole-clip denoise step: latents (1, L, h, w, 4) go through
-            the UNet directly (CFG-doubled), no window indexing.  Under a
-            mesh, rows shard as CFG x frame blocks (see mesh2 above)."""
-            lat = jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
-            pose_w = [
-                jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf
-                for pf in pose_fea
-            ]
-            lat = shard_rows(lat)
-            pose_w = [shard_rows(pw) for pw in pose_w]
+            the UNet directly (CFG-doubled), no window indexing.  pose_w is
+            the CFG-doubled pose pyramid, hoisted OUT of the step (constant
+            across steps; doubling it per step was ~150 MB of HBM copies
+            each iteration).  Under a mesh, rows shard as CFG x frame
+            blocks (see mesh2 above)."""
+            lat = shard_rows(
+                jnp.concatenate([latents] * 2, axis=0) if do_cfg else latents
+            )
             if k_cache > 1:
                 refresh = (step_i % k_cache) == 0
                 enc = jax.lax.cond(
@@ -503,11 +525,14 @@ class Pose2VideoPipeline:
                 ctx_t = shard_cfg_tree(ctx_t)
                 banks_t = shard_cfg_tree(banks_t)
                 latents = shard_lat(latents)
-                if k_cache > 1:
-                    pose_w0 = [
+                # CFG-double the pose pyramid ONCE (constant across steps)
+                pose_w = [
+                    shard_rows(
                         jnp.concatenate([pf] * 2, axis=0) if do_cfg else pf
-                        for pf in pose_fea
-                    ]
+                    )
+                    for pf in pose_fea
+                ]
+                if k_cache > 1:
                     lat0 = (
                         jnp.concatenate([latents] * 2, axis=0)
                         if do_cfg
@@ -515,7 +540,7 @@ class Pose2VideoPipeline:
                     )
                     enc_shapes = jax.eval_shape(
                         lambda p, l: _unet_apply(
-                            p, l, timesteps[0], ctx_t, banks_t, pose_w0,
+                            p, l, timesteps[0], ctx_t, banks_t, pose_w,
                             mode="encode",
                         ),
                         den_params, lat0,
@@ -530,7 +555,7 @@ class Pose2VideoPipeline:
                     t, i = t_and_i
                     latents, cache = carry
                     new_lat, new_cache = _one_step_single(
-                        den_params, latents, t, i, ctx_t, banks_t, pose_fea,
+                        den_params, latents, t, i, ctx_t, banks_t, pose_w,
                         cache,
                     )
                     return (new_lat, new_cache), None
@@ -541,9 +566,29 @@ class Pose2VideoPipeline:
                 )
                 return latents
 
+            # pre-gather + CFG-double the pose pyramid for EVERY window batch
+            # (constant across denoise steps when the table does not rotate);
+            # fed through the window scan as xs
+            if rotate:
+                pose_b = None
+            else:
+                pose_b = [
+                    _shard_win_all(
+                        jnp.concatenate([pf[0][windows_b]] * 2, axis=1)
+                        if do_cfg
+                        else pf[0][windows_b]
+                    )
+                    for pf in pose_fea
+                ]
+
             if k_cache > 1:
                 # per-window-batch encoder cache, zeros until first refresh
-                lat0, pose_w0 = _window_inputs(latents, pose_fea, windows_b[0])
+                lat0 = _window_lat(latents, windows_b[0])
+                pose_w0 = (
+                    [p[0] for p in pose_b]
+                    if pose_b is not None
+                    else _window_pose(pose_fea, windows_b[0])
+                )
                 enc_shapes = jax.eval_shape(
                     lambda p, l: _unet_apply(
                         p, l, timesteps[0], ctx_t, banks_t, pose_w0,
@@ -568,7 +613,7 @@ class Pose2VideoPipeline:
                 latents, cache = carry
                 new_lat, new_cache = _one_step(
                     den_params, latents, t, i, ctx_t, banks_t, pose_fea,
-                    cache, wt, vt,
+                    pose_b, cache, wt, vt,
                 )
                 return (new_lat, new_cache), None
 
@@ -582,7 +627,7 @@ class Pose2VideoPipeline:
             return latents
 
         def _one_step(den_params, latents, t, step_i, ctx_t, banks_t, pose_fea,
-                      cache, win_tab=None, val_tab=None):
+                      pose_b, cache, win_tab=None, val_tab=None):
             wtab = windows_b if win_tab is None else win_tab
             vtab = valid_b if val_tab is None else val_tab
             acc_shape = (2 if do_cfg else 1, video_length, hlat, wlat, 4)
@@ -592,13 +637,19 @@ class Pose2VideoPipeline:
 
             def win_body(accs, xs):
                 noise_pred, counter = accs
-                if k_cache > 1:
-                    win, valid, cache_slice = xs
+                cache_slice = pose_w = None
+                if pose_b is None:  # rotating table: gather per step
+                    if k_cache > 1:
+                        win, valid, cache_slice = xs
+                    else:
+                        win, valid = xs
+                    pose_w = _window_pose(pose_fea, win)
+                elif k_cache > 1:
+                    win, valid, pose_w, cache_slice = xs
                 else:
-                    win, valid = xs
-                    cache_slice = None
+                    win, valid, pose_w = xs
                 pred, new_cache = unet_on_windows(
-                    den_params, latents, t, ctx_t, banks_t, pose_fea, win,
+                    den_params, latents, t, ctx_t, banks_t, pose_w, win,
                     valid, refresh=refresh, enc_cache=cache_slice,
                 )
                 pred = pred.astype(jnp.float32)
@@ -615,11 +666,12 @@ class Pose2VideoPipeline:
                     counter = counter.at[0, win[k]].add(w)
                 return (noise_pred, counter), new_cache
 
-            xs = (
-                (wtab, vtab, cache)
-                if k_cache > 1
-                else (wtab, vtab)
-            )
+            if pose_b is None:
+                xs = (wtab, vtab, cache) if k_cache > 1 else (wtab, vtab)
+            elif k_cache > 1:
+                xs = (wtab, vtab, pose_b, cache)
+            else:
+                xs = (wtab, vtab, pose_b)
             (noise_pred, counter), new_cache = jax.lax.scan(
                 win_body, (noise_pred0, counter0), xs
             )

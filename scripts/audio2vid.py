@@ -75,19 +75,34 @@ def generate_head_pose(
         del audio_chunks[-1]
         del seq_len_list[-1]
 
+    # Every chunk except the (merged) last is exactly chunk_size samples and
+    # chunk_duration*fps frames, so they run as ONE batched apply — the
+    # computation is batch-independent (per-sample norms/attention), so the
+    # per-chunk outputs are identical to the reference's sequential loop
+    # (audio2vid.py:188-193) while the AR decode runs all chunks in parallel
+    # (2 compiles total — head batch + tail — instead of one dispatch per
+    # 5 s of audio).
     pose_seq = []
-    for audio, sl in zip(audio_chunks, seq_len_list):
-        chunk = a2p.apply(
+    if len(audio_chunks) > 1:
+        head = np.stack(audio_chunks[:-1])  # (k-1, chunk_size)
+        out = a2p.apply(
             {"params": a2p_params},
-            jnp.asarray(audio)[None],
-            int(sl),
-            jnp.asarray([id_seed]),
+            jnp.asarray(head),
+            int(seq_len_list[0]),
+            jnp.full((head.shape[0],), id_seed, jnp.int32),
         )
-        # np.array (copy): on the CPU backend np.asarray of a jax array is a
-        # zero-copy READ-ONLY view and the in-place damping would raise
-        chunk = np.array(chunk)[0]
+        pose_seq.extend(np.array(out))  # copy: damped in place below
+    tail = a2p.apply(
+        {"params": a2p_params},
+        jnp.asarray(audio_chunks[-1])[None],
+        int(seq_len_list[-1]),
+        jnp.asarray([id_seed]),
+    )
+    # np.array (copy): on the CPU backend np.asarray of a jax array is a
+    # zero-copy READ-ONLY view and the in-place damping would raise
+    pose_seq.append(np.array(tail)[0])
+    for chunk in pose_seq:
         chunk[:, :3] *= 0.5  # rotation damping (audio2vid.py:193)
-        pose_seq.append(chunk)
     from aniportrait_tpu.utils.pose_util import smooth_pose_seq
 
     return smooth_pose_seq(np.concatenate(pose_seq, 0), 7)

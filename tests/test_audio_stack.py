@@ -108,3 +108,51 @@ def test_non_wav_decode_ffmpeg(tmp_path):
     n = min(len(a), len(b))
     assert np.corrcoef(a[:n], b[:n])[0, 1] > 0.9
     assert prepare_audio_feature(ogg)["seq_len"] == 30
+
+
+def test_generate_head_pose_batched_chunks_match_sequential():
+    """scripts/audio2vid.generate_head_pose batches the equal-length 5-s
+    chunks into one apply; the result must equal the reference's sequential
+    per-chunk loop (audio2vid.py:188-193) exactly (batching is
+    computation-preserving: per-sample norms and attention)."""
+    from aniportrait_tpu.audio.audio2pose import Audio2PoseModel
+    from aniportrait_tpu.utils.pose_util import smooth_pose_seq
+    from scripts.audio2vid import generate_head_pose
+
+    w2v = dict(TINY_W2V)
+    w2v["enc_layers"] = w2v.pop("layers")
+    w2v["enc_heads"] = w2v.pop("heads")
+    model = Audio2PoseModel(out_dim=6, latent_dim=16, num_layers=2, heads=4, **w2v)
+
+    # 12 s of audio at 16 kHz / 30 fps -> chunks of 150+150+60 frames, the
+    # 60 merged into the second -> one batched head chunk + one tail chunk
+    sr, fps = 16000, 30
+    secs = 12
+    wav = np.random.RandomState(0).randn(sr * secs).astype(np.float32)
+    seq_len = secs * fps
+    params = jax.jit(lambda k: model.init(k, jnp.asarray(wav[: sr * 5])[None],
+                                          150, jnp.asarray([3])))(
+        jax.random.PRNGKey(0)
+    )["params"]
+
+    got = generate_head_pose(model, params, wav, seq_len, id_seed=3)
+
+    # sequential reference loop
+    chunk_size = sr * 5
+    chunks = [wav[i : i + chunk_size] for i in range(0, len(wav), chunk_size)]
+    sls = [150] * (len(chunks) - 1) + [seq_len % 150]
+    chunks[-2] = np.concatenate([chunks[-2], chunks[-1]])
+    sls[-2] += sls[-1]
+    del chunks[-1], sls[-1]
+    parts = []
+    for audio, sl in zip(chunks, sls):
+        out = np.array(
+            model.apply({"params": params}, jnp.asarray(audio)[None], int(sl),
+                        jnp.asarray([3]))
+        )[0]
+        out[:, :3] *= 0.5
+        parts.append(out)
+    want = smooth_pose_seq(np.concatenate(parts, 0), 7)
+
+    assert got.shape == (seq_len, 6)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

@@ -216,3 +216,29 @@ def test_window_fusion_overlap_sane(pipeline):
     assert v1.min() >= 0.0 and v1.max() <= 1.0
     v2 = fused(ref, poses, None, **kw)
     np.testing.assert_array_equal(v1, v2)
+
+
+def test_context_rotate_step0_matches_exact(pipeline):
+    """context_rotate=True at ONE denoise step uses the step-0 table — the
+    same table as the static default — so output must match bit-for-bit.
+    With 2 steps the rotated table differs at step 1: output stays finite
+    and in range (rotation is an opt-in quality experiment, not parity)."""
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    rot = Pose2VideoPipeline(
+        pipeline.m, context_frames=4, context_overlap=2, window_batch=2,
+        context_rotate=True,
+    )
+    rs = np.random.RandomState(11)
+    ref = rs.randint(0, 255, (70, 70, 3), np.uint8)
+    poses = [rs.randint(0, 255, (70, 70, 3), np.uint8) for _ in range(6)]
+    kw = dict(width=64, height=64, video_length=6, num_inference_steps=1,
+              guidance_scale=3.5, seed=4, decode_chunk=2)
+    np.testing.assert_allclose(
+        rot(ref, poses, None, **kw),
+        pipeline(ref, poses, None, **kw),
+        atol=1.5 / 255,  # uint8 staging: reduction-order pixel rounding
+    )
+    v2 = rot(ref, poses, None, **dict(kw, num_inference_steps=2))
+    assert np.isfinite(v2).all()
+    assert v2.min() >= 0.0 and v2.max() <= 1.0
