@@ -86,8 +86,39 @@ class CrossAttention(nn.Module):
                 inner, use_bias=True, dtype=self.dtype, name="to_out_0"
             )(out)
         if extra_kv is not None:
-            ke = jnp.repeat(to_k(extra_kv), extra_repeat, axis=0)
-            ve = jnp.repeat(to_v(extra_kv), extra_repeat, axis=0)
+            ke = to_k(extra_kv)
+            ve = to_v(extra_kv)
+            if (
+                mask_bias is None
+                and kv_split is None
+                and drop_tail is None
+                and q.shape[1] * (k.shape[1] + ke.shape[1] * extra_repeat)
+                >= FLASH_MIN_LOGITS
+                and self.dim_head <= 256
+                # c=640 would need a block_kv shrink to fit the 4 double-
+                # buffered KV refs in VMEM, and the shrunk kernel measured
+                # SLOWER than concat+tok_flash (4.01 vs 3.40 ms) — banked
+                # only wins at the top-res width
+                and inner <= 320
+                and _on_accelerator()
+            ):
+                # two-segment flash: the bank KV stays UNREPEATED and
+                # UNCONCATENATED — the kernel walks self blocks then bank
+                # blocks with shared accumulators (bit-comparable to the
+                # concat form).  The concat was rebuilt every denoise step
+                # per reference-reading layer (~0.15 s/clip of HBM writes).
+                from aniportrait_tpu.ops.pallas_attention import (
+                    tok_flash_banked,
+                )
+
+                out = tok_flash_banked(
+                    q, k, v, ke, ve, self.heads, extra_repeat
+                )
+                return nn.Dense(
+                    inner, use_bias=True, dtype=self.dtype, name="to_out_0"
+                )(out)
+            ke = jnp.repeat(ke, extra_repeat, axis=0)
+            ve = jnp.repeat(ve, extra_repeat, axis=0)
             if kv_split is not None or drop_tail is not None:
                 kv_split = k.shape[1]
             k = jnp.concatenate([k, ke], axis=1)

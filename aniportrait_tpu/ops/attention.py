@@ -63,11 +63,10 @@ def small_seq_attention(
         # ~4 x 0.8 ms of pure HBM transpose copies per 64x64 attention call.
         from aniportrait_tpu.ops.pallas_attention import ctg_packed
 
-        # base-2 softmax contract (see _ctg_kernel): log2e folds into the
-        # prescale so the kernel's exp lowering drops its hidden multiply
-        qs = (q * (scale * jnp.asarray(math.log2(math.e), q.dtype))).reshape(
-            b, s, c
-        )
+        # base-2 softmax contract (see _ctg_kernel): the log2e-folded scale
+        # multiplies q INSIDE the kernel — a caller-side multiply cannot
+        # fuse into the Pallas custom call (one extra HBM pass over q)
+        qs = q.reshape(b, s, c)
         ks = k.reshape(b, s, c)
         vs = v.reshape(b, s, c)
         pad_b = (-b) % g
@@ -81,6 +80,7 @@ def small_seq_attention(
             ks.reshape(n, g * s, c),
             vs.reshape(n, g * s, c),
             s, h, not _on_accelerator(),
+            float(d ** -0.5) * math.log2(math.e),
         )
         return (
             out.reshape(n * g, s, c)[:b].astype(q.dtype).reshape(b, s, h, d)
@@ -142,14 +142,16 @@ def temporal_attention_4d(
     if P and s % P == 0 and _on_accelerator():
         from aniportrait_tpu.ops.pallas_attention import nat_packed
 
-        # base-2 softmax contract: fold log2(e) into the existing prescale
-        # so the kernel's exp lowering drops its hidden multiply
-        scale = jnp.asarray(math.log2(math.e) * d ** -0.5, q.dtype)
+        # base-2 softmax contract: log2(e) x softmax scale multiplies q
+        # INSIDE the kernel (a caller-side multiply cannot fuse into the
+        # Pallas custom call — it was a full HBM pass over q per call,
+        # ~75 ms/clip of copies in the r4 trace)
         out = nat_packed(
-            (q * scale).reshape(b * f, s, c),
+            q.reshape(b * f, s, c),
             k.reshape(b * f, s, c),
             v.reshape(b * f, s, c),
             f, heads, False,
+            math.log2(math.e) * float(d) ** -0.5,
         )
         return out.reshape(b, f, s, c)
     # fallback (CPU tests, odd frame counts): token layout through the

@@ -864,10 +864,10 @@ def flash_attention_tokens_noshift(
 
 
 def _tokf_fwd_kernel(
-    block_kv, skv, n_kv, heads, d, need_mask,
+    block_kv, skv, n_kv, heads, d, need_mask, scale,
     q_ref, k_ref, v_ref,
-    o_ref, l_out_ref,
-    acc_ref, l_ref,
+    o_ref, guard_ref,
+    acc_ref, l_ref, qs_ref,
 ):
     """Unshifted exp2 flash forward: ``p = exp2(logits2)`` with NO shift at
     all — the per-logit VPU floor (exp2 + sum-accumulate + bf16 convert).
@@ -888,8 +888,13 @@ def _tokf_fwd_kernel(
     def _():
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        # softmax scale (x log2 e) folded into q HERE, once per q block in
+        # VMEM: as a caller-side multiply it was a full extra HBM pass over
+        # q per call (Pallas custom calls cannot fuse elementwise producers
+        # -- ~0.1 s/clip of broadcast_multiply/copy in the r4 trace)
+        qs_ref[:] = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
 
-    q = q_ref[0]  # (bq, C) pre-scaled by log2(e)/sqrt(d)
+    q = qs_ref[:]  # (bq, C) scaled by log2(e)/sqrt(d)
     k = k_ref[0]  # (bkv, C)
     v = v_ref[0]
 
@@ -918,8 +923,19 @@ def _tokf_fwd_kernel(
             l = l_ref[:, h : h + 1]
             safe = jnp.where(l == 0.0, 1.0, l)
             out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
-        o_ref[0] = jnp.concatenate(out, axis=-1).astype(o_ref.dtype)
-        l_out_ref[0] = l_ref[:]
+        outv = jnp.concatenate(out, axis=-1)
+        o_ref[0] = outv.astype(o_ref.dtype)
+        # guard REDUCED in-kernel to one scalar per q block: min softmax
+        # denominator if every l/out value is finite, else -1.  The caller
+        # tests min(guard) > 1e-30.  The previous full (B, Sq, 128) f32 l
+        # output was ~33 MB write + read PER CALL just to evaluate this
+        # predicate (~40 ms/clip).
+        lh = l_ref[:, :heads]
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(lh)), jnp.all(jnp.isfinite(outv))
+        )
+        gv = jnp.where(finite, jnp.min(lh), -1.0)
+        guard_ref[0] = jnp.zeros_like(guard_ref[0]) + gv
 
 
 def flash_attention_tokens_unshifted(
@@ -933,8 +949,10 @@ def flash_attention_tokens_unshifted(
     b, sq, c = q.shape
     skv = k.shape[1]
     d = c // heads
+    # softmax scale (x log2 e) is applied IN-KERNEL at q-block load — a
+    # caller-side multiply cannot fuse into the Pallas custom call and cost
+    # a full HBM pass over q per call (~0.1 s/clip in the r4 trace)
     scale2 = math.log2(math.e) / math.sqrt(d)
-    qs = q * jnp.asarray(scale2, q.dtype)
     # caller-supplied block sizes for the fallback (which re-applies the
     # same c>320 shrink — see flash_attention_tokens_noshift)
     block_q0, block_kv0 = block_q, block_kv
@@ -945,14 +963,14 @@ def flash_attention_tokens_unshifted(
     sq_p = ((sq + bq - 1) // bq) * bq
     skv_p = ((skv + bkv - 1) // bkv) * bkv
     n_q, n_kv = sq_p // bq, skv_p // bkv
-    qp = _pad_to(qs, sq_p, 1)
+    qp = _pad_to(q, sq_p, 1)
     kp = _pad_to(k, skv_p, 1)
     vp = _pad_to(v, skv_p, 1)
 
     kernel = functools.partial(
-        _tokf_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv
+        _tokf_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv, scale2
     )
-    out, l = pl.pallas_call(
+    out, guard = pl.pallas_call(
         kernel,
         grid=(b, n_q, n_kv),
         in_specs=[
@@ -966,16 +984,17 @@ def flash_attention_tokens_unshifted(
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 128), lambda r, qi, ki: (r, qi, 0),
+            pl.BlockSpec((1, 8, 128), lambda r, qi, ki: (r, qi, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
-            jax.ShapeDtypeStruct((b, sq_p, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_q * 8, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, c), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, c), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -983,12 +1002,10 @@ def flash_attention_tokens_unshifted(
         interpret=interpret,
     )(qp, kp, vp)
     out = out[:, :sq]
-    lv = l[:, :sq, :heads]
-    # guard the PV-accumulator overflow crack too (see noshift variant)
-    ok = jnp.logical_and(
-        jnp.logical_and(jnp.min(lv) > 1e-30, jnp.all(jnp.isfinite(lv))),
-        jnp.all(jnp.isfinite(out.astype(jnp.float32))),
-    )
+    # guard: per-q-block scalar = min softmax denominator when every l/out
+    # value is finite, else -1 — covers underflow AND the PV-accumulator
+    # overflow crack, with no full-size l round trip through HBM
+    ok = jnp.min(guard) > 1e-30
     return jax.lax.cond(
         ok,
         lambda: out,
@@ -1232,6 +1249,214 @@ def _tok_flash_bwd(heads, block_q, block_kv, interpret, res, g):
 tok_flash.defvjp(_tok_flash_fwd, _tok_flash_bwd)
 
 
+def _tokf_banked_kernel(
+    block_kv, s_self, n_self, s_bank, n_kv, heads, d,
+    mask_self, mask_bank, scale,
+    q_ref, k_ref, v_ref, kb_ref, vb_ref,
+    o_ref, guard_ref,
+    acc_ref, l_ref, qs_ref,
+):
+    """Unshifted exp2 flash forward over TWO KV segments: per-row self
+    tokens (k/v) for grid steps ki < n_self, then shared reference-bank
+    tokens (kb/vb) for ki >= n_self.  Equal to ``_tokf_fwd_kernel`` run on
+    ``concat([k, repeat(bank)], axis=1)`` — the segments are visited in
+    concat order with the same accumulators — WITHOUT ever materialising
+    the concat in HBM.  In the driver pipeline that concat was rebuilt
+    every denoise step for every reference-reading layer (the bank half is
+    loop-invariant but the self half is not, so XLA could not hoist it):
+    16 concat+pad fusions per step, ~0.15 s/clip of pure HBM writes in the
+    r4 trace (reference role: the KV cat at mutual_self_attention.py:
+    147-165)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _():
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        # scale folded into q once per q block in VMEM (see _tokf_fwd_kernel)
+        qs_ref[:] = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+
+    q = qs_ref[:]  # (bq, C) scaled by log2(e)/sqrt(d)
+
+    def accumulate(k, v, need_mask, valid, base_blocks):
+        for h in range(heads):
+            sl = slice(h * d, (h + 1) * d)
+            logits = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bkv) f32, base-2 scaled
+            if need_mask:
+                cols = (ki - base_blocks) * block_kv + jax.lax.broadcasted_iota(
+                    jnp.int32, logits.shape, 1
+                )
+                logits = jnp.where(cols < valid, logits, NEG_INF)
+            p = jnp.exp2(logits)
+            l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[:, sl] += jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(ki < n_self)
+    def _():
+        accumulate(k_ref[0], v_ref[0], mask_self, s_self, 0)
+
+    @pl.when(ki >= n_self)
+    def _():
+        accumulate(kb_ref[0], vb_ref[0], mask_bank, s_bank, n_self)
+
+    @pl.when(ki == n_kv - 1)
+    def _():
+        out = []
+        for h in range(heads):
+            l = l_ref[:, h : h + 1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out.append(acc_ref[:, h * d : (h + 1) * d] / safe)
+        outv = jnp.concatenate(out, axis=-1)
+        o_ref[0] = outv.astype(o_ref.dtype)
+        # per-q-block scalar guard (see _tokf_fwd_kernel)
+        lh = l_ref[:, :heads]
+        finite = jnp.logical_and(
+            jnp.all(jnp.isfinite(lh)), jnp.all(jnp.isfinite(outv))
+        )
+        gv = jnp.where(finite, jnp.min(lh), -1.0)
+        guard_ref[0] = jnp.zeros_like(guard_ref[0]) + gv
+
+
+def _banked_concat(k, v, kb, vb, rep):
+    """Materialised-concat equivalent of the banked operands (fallback and
+    VJP path)."""
+    return (
+        jnp.concatenate([k, jnp.repeat(kb, rep, axis=0)], axis=1),
+        jnp.concatenate([v, jnp.repeat(vb, rep, axis=0)], axis=1),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def tok_flash_banked(
+    q, k, v, kb, vb, heads, rep=1, block_q=512, block_kv=1024,
+    interpret=False,
+):
+    """Token-layout flash attention with a separate reference-bank KV
+    segment: ``q (B, Sq, C)`` attends ``[k | repeat(kb, rep)]`` where
+    ``kb/vb (B//rep, S_bank, C)`` are shared by groups of ``rep``
+    consecutive batch rows.  Guarded exact like ``tok_flash`` (falls back
+    to the running-max kernel on the materialised concat if any softmax
+    denominator over-/underflowed).  Backward differentiates the concat
+    form (training only; inference never takes it)."""
+    b, sq, c = q.shape
+    s_self, s_bank = k.shape[1], kb.shape[1]
+    d = c // heads
+    scale2 = math.log2(math.e) / math.sqrt(d)  # folded into q IN-KERNEL
+    block_q0, block_kv0 = block_q, block_kv
+    if c > 320:
+        block_q = max(128, (block_q * 320 // c) // 128 * 128)
+        # this kernel double-buffers FOUR (bkv, c) KV refs (self + bank);
+        # at c=640 the c>320 q shrink alone left 17.3M > the 16M scoped
+        # VMEM limit — shrink the KV block with channel width too
+        block_kv = max(256, (block_kv * 320 // c) // 128 * 128)
+    bq = min(block_q, max(128, ((sq + 127) // 128) * 128))
+    longest = max(s_self, s_bank)
+    bkv = min(block_kv, max(128, ((longest + 127) // 128) * 128))
+    sq_p = ((sq + bq - 1) // bq) * bq
+    s_self_p = ((s_self + bkv - 1) // bkv) * bkv
+    s_bank_p = ((s_bank + bkv - 1) // bkv) * bkv
+    n_q = sq_p // bq
+    n_self, n_bank = s_self_p // bkv, s_bank_p // bkv
+    n_kv = n_self + n_bank
+    qp = _pad_to(q, sq_p, 1)
+    kp = _pad_to(k, s_self_p, 1)
+    vp = _pad_to(v, s_self_p, 1)
+    kbp = _pad_to(kb, s_bank_p, 1)
+    vbp = _pad_to(vb, s_bank_p, 1)
+
+    kernel = functools.partial(
+        _tokf_banked_kernel, bkv, s_self, n_self, s_bank, n_kv, heads, d,
+        s_self_p != s_self, s_bank_p != s_bank, scale2,
+    )
+    # index maps clamp each segment's block index while the other segment
+    # is active, so Mosaic's revisit check sees an unchanged block and skips
+    # the DMA (one extra fetch per segment transition, nothing per step)
+    self_blk = lambda r, qi, ki: (r, jnp.minimum(ki, n_self - 1), 0)
+    bank_blk = lambda r, qi, ki: (
+        r // rep, jnp.maximum(ki - n_self, 0), 0,
+    )
+    out, guard = pl.pallas_call(
+        kernel,
+        grid=(b, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), self_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), self_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), bank_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv, c), bank_blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda r, qi, ki: (r, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq_p, c), q.dtype),
+            jax.ShapeDtypeStruct((b, n_q * 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, c), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, c), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, kbp, vbp)
+    out = out[:, :sq]
+    ok = jnp.min(guard) > 1e-30
+
+    def fallback():
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        return flash_attention_tokens(
+            q, kc, vc, heads=heads, block_q=block_q0, block_kv=block_kv0,
+            interpret=interpret,
+        )
+
+    return jax.lax.cond(ok, lambda: out, fallback)
+
+
+def _tok_flash_banked_fwd(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                          interpret):
+    return (
+        tok_flash_banked(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                         interpret),
+        (q, k, v, kb, vb),
+    )
+
+
+def _tok_flash_banked_bwd(heads, rep, block_q, block_kv, interpret, res, g):
+    q, k, v, kb, vb = res
+
+    def f(q, k, v, kb, vb):
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        b, s, c = q.shape
+        skv = kc.shape[1]
+        d = c // heads
+        out = _flash(
+            q.reshape(b, s, heads, d),
+            kc.reshape(b, skv, heads, d),
+            vc.reshape(b, skv, heads, d),
+            jnp.zeros((b,), jnp.int32), None, block_q, block_kv, interpret,
+        )
+        return out.reshape(b, s, c)
+
+    _, vjp = jax.vjp(f, q, k, v, kb, vb)
+    return vjp(g)
+
+
+tok_flash_banked.defvjp(_tok_flash_banked_fwd, _tok_flash_banked_bwd)
+
+
 # ---------------------------------------------------------- small-seq packed
 def _small_seq_kernel(s, n_valid_rows, q_ref, k_ref, v_ref, o_ref):
     """``nb`` 128-row tiles of packed sequences: block-diagonal attention.
@@ -1301,7 +1526,7 @@ def small_seq_attention_pallas(qp, kp, vp, seq: int, n_valid_rows: int = None,
     return out[:n]
 
 
-def _ctg_kernel(s, heads, d, q_ref, k_ref, v_ref, o_ref):
+def _ctg_kernel(s, heads, d, scale, q_ref, k_ref, v_ref, o_ref):
     """Contiguous-sequence packed temporal attention tile.
 
     Each (t, c) tile holds g = t // s COMPLETE sequences with their frames
@@ -1310,7 +1535,8 @@ def _ctg_kernel(s, heads, d, q_ref, k_ref, v_ref, o_ref):
     (those transposes were ~4 x 0.8 ms of pure copy per attention call in
     the trace).  Heads live in the lane axis (c = heads * d) and are
     attended independently via in-kernel lane slices; q is pre-scaled."""
-    q = q_ref[:]  # (nb, t, c)
+    # scale folded into q in VMEM (see _nat_kernel)
+    q = q_ref[:] * jnp.asarray(scale, q_ref.dtype)  # (nb, t, c)
     k = k_ref[:]
     v = v_ref[:]
     nb, t, c = q.shape
@@ -1337,9 +1563,10 @@ def _ctg_kernel(s, heads, d, q_ref, k_ref, v_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("seq", "heads", "interpret")
+    jax.jit, static_argnames=("seq", "heads", "scale", "interpret")
 )
 def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
+                             scale: float = 1.0,
                              interpret: bool = False):
     """Packed tiles (n, T, C) of CONTIGUOUS sequences of length ``seq``
     (pre-scaled q); C = heads * d.  Returns (n, T, C)."""
@@ -1355,7 +1582,7 @@ def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
         vp = jnp.pad(vp, ((0, pad_n), (0, 0), (0, 0)))
     n_p = qp.shape[0]
     out = pl.pallas_call(
-        functools.partial(_ctg_kernel, seq, heads, d),
+        functools.partial(_ctg_kernel, seq, heads, d, scale),
         grid=(n_p // nb,),
         in_specs=[
             pl.BlockSpec((nb, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -1373,7 +1600,7 @@ def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
     return out[:n]
 
 
-def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
+def _nat_kernel(f, P, nb, heads, d, scale, q_ref, k_ref, v_ref, o_ref):
     """Natural-layout temporal attention tile.
 
     Block (f, nb*P, c) cut straight from the (b*f, s, c) activation — the
@@ -1399,7 +1626,10 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
         x = x.reshape(f, nb, P, ref.shape[-1])
         return x.transpose(1, 0, 2, 3).reshape(nb, t, ref.shape[-1])
 
-    q = rows(q_ref)
+    # softmax scale (x log2 e) folded into q here in VMEM: a caller-side
+    # multiply cannot fuse into the Pallas custom call (one full HBM pass
+    # over q per call, ~75 ms/clip of copies in the r4 trace)
+    q = rows(q_ref) * jnp.asarray(scale, q_ref.dtype)
     k = rows(k_ref)
     v = rows(v_ref)
     i = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
@@ -1428,8 +1658,11 @@ def _nat_kernel(f, P, nb, heads, d, q_ref, k_ref, v_ref, o_ref):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("frames", "heads", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("frames", "heads", "scale", "interpret")
+)
 def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
+                                  scale: float = 1.0,
                                   interpret: bool = False):
     """Temporal attention over (b*f, s, c) activations in natural layout
     (q pre-scaled by ``log2(e)/sqrt(d)`` — base-2 softmax contract, see
@@ -1447,7 +1680,7 @@ def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
     while s % (P * nb):
         nb //= 2
     out = pl.pallas_call(
-        functools.partial(_nat_kernel, frames, P, nb, heads, d),
+        functools.partial(_nat_kernel, frames, P, nb, heads, d, scale),
         grid=(b, s // (P * nb)),
         in_specs=[
             pl.BlockSpec((frames, nb * P, c), lambda bi, ci: (bi, ci, 0),
@@ -1468,7 +1701,7 @@ def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
     return out
 
 
-def _nat_xla_core(frames, heads, qbf, kbf, vbf):
+def _nat_xla_core(frames, heads, scale, qbf, kbf, vbf):
     """XLA reference of the natural-layout kernel math — custom-VJP
     backward and CPU tests.  Same base-2 contract as the kernel: q arrives
     pre-scaled by ``log2(e)/sqrt(d)``, so the base-e softmax runs on
@@ -1481,7 +1714,8 @@ def _nat_xla_core(frames, heads, qbf, kbf, vbf):
         x = x.reshape(b, frames, s, heads, d)
         return x.transpose(0, 2, 3, 1, 4)
 
-    q, k, v = split(qbf), split(kbf), split(vbf)
+    q = split(qbf) * jnp.asarray(scale, qbf.dtype)
+    k, v = split(kbf), split(vbf)
     logits = jnp.einsum(
         "bshfd,bshgd->bshfg", q, k, preferred_element_type=jnp.float32
     )
@@ -1492,24 +1726,27 @@ def _nat_xla_core(frames, heads, qbf, kbf, vbf):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def nat_packed(qbf, kbf, vbf, frames, heads, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def nat_packed(qbf, kbf, vbf, frames, heads, interpret, scale=1.0):
     """Differentiable natural-layout temporal attention: Pallas forward,
-    backward via the XLA core's VJP (recompute; only paid when training)."""
+    backward via the XLA core's VJP (recompute; only paid when training).
+    ``scale`` multiplies q inside the kernel (softmax scale + log2e)."""
     return nat_temporal_attention_pallas(
-        qbf, kbf, vbf, frames=frames, heads=heads, interpret=interpret
+        qbf, kbf, vbf, frames=frames, heads=heads, scale=scale,
+        interpret=interpret
     )
 
 
-def _nat_fwd(qbf, kbf, vbf, frames, heads, interpret):
-    out = nat_packed(qbf, kbf, vbf, frames, heads, interpret)
+def _nat_fwd(qbf, kbf, vbf, frames, heads, interpret, scale):
+    out = nat_packed(qbf, kbf, vbf, frames, heads, interpret, scale)
     return out, (qbf, kbf, vbf)
 
 
-def _nat_bwd(frames, heads, interpret, res, g):
+def _nat_bwd(frames, heads, interpret, scale, res, g):
     qbf, kbf, vbf = res
     _, vjp = jax.vjp(
-        lambda a, b, c: _nat_xla_core(frames, heads, a, b, c), qbf, kbf, vbf
+        lambda a, b, c: _nat_xla_core(frames, heads, scale, a, b, c),
+        qbf, kbf, vbf,
     )
     return vjp(g)
 
@@ -1517,7 +1754,7 @@ def _nat_bwd(frames, heads, interpret, res, g):
 nat_packed.defvjp(_nat_fwd, _nat_bwd)
 
 
-def _ctg_xla_core(seq, heads, qp, kp, vp):
+def _ctg_xla_core(seq, heads, scale, qp, kp, vp):
     """XLA reference of the contiguous-pack kernel math — used for the
     custom-VJP backward and CPU tests."""
     n, t, c = qp.shape
@@ -1526,7 +1763,8 @@ def _ctg_xla_core(seq, heads, qp, kp, vp):
     def split(x):  # (n, t, c) -> (n, h, t, d)
         return x.reshape(n, t, heads, d).transpose(0, 2, 1, 3)
 
-    q, k, v = split(qp), split(kp), split(vp)
+    q = split(qp) * jnp.asarray(scale, qp.dtype)
+    k, v = split(kp), split(vp)
     r = jnp.arange(t)
     same = (r[:, None] // seq) == (r[None, :] // seq)
     logits = jnp.einsum(
@@ -1539,24 +1777,25 @@ def _ctg_xla_core(seq, heads, qp, kp, vp):
     return out.transpose(0, 2, 1, 3).reshape(n, t, c).astype(qp.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def ctg_packed(qp, kp, vp, seq, heads, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def ctg_packed(qp, kp, vp, seq, heads, interpret, scale=1.0):
     """Differentiable contiguous-pack temporal attention: Pallas forward,
-    backward via the XLA core's VJP (recompute; only paid when training)."""
+    backward via the XLA core's VJP (recompute; only paid when training).
+    ``scale`` multiplies q inside the kernel (softmax scale + log2e)."""
     return ctg_seq_attention_pallas(
-        qp, kp, vp, seq=seq, heads=heads, interpret=interpret
+        qp, kp, vp, seq=seq, heads=heads, scale=scale, interpret=interpret
     )
 
 
-def _ctg_fwd(qp, kp, vp, seq, heads, interpret):
-    out = ctg_packed(qp, kp, vp, seq, heads, interpret)
+def _ctg_fwd(qp, kp, vp, seq, heads, interpret, scale):
+    out = ctg_packed(qp, kp, vp, seq, heads, interpret, scale)
     return out, (qp, kp, vp)
 
 
-def _ctg_bwd(seq, heads, interpret, res, g):
+def _ctg_bwd(seq, heads, interpret, scale, res, g):
     qp, kp, vp = res
     _, vjp = jax.vjp(
-        lambda a, b, c: _ctg_xla_core(seq, heads, a, b, c), qp, kp, vp
+        lambda a, b, c: _ctg_xla_core(seq, heads, scale, a, b, c), qp, kp, vp
     )
     return vjp(g)
 

@@ -66,6 +66,66 @@ def projection_table_fused(slot_rate: float, fused_eff: float, chips=8):
     return rows
 
 
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "u8": 1,
+                "pred": 1, "f64": 8, "s8": 1}
+
+
+def collective_report(hlo_text, steps):
+    """Sum the bytes moved by every collective in an optimized sharded HLO
+    module (the MEASURED counterpart of the projection's 'scatter-add is
+    KBs/step over ICI' assumption).  Collectives inside the denoise scan
+    body execute once per step; the while body appears once in the text, so
+    per-clip bytes = body bytes x steps (upper bound for the few outside)."""
+    import re
+
+    totals = {}
+    for m in re.finditer(
+        r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\(",
+        hlo_text,
+    ):
+        dt, dims, kind = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        totals[kind] = totals.get(kind, 0) + n * _DTYPE_BYTES.get(dt, 4)
+    per_step = sum(totals.values())
+    return totals, per_step, per_step * steps
+
+
+def audit_collectives(modules, mesh, fused, steps=2):
+    """Lower+compile the sharded micro sampler and report its collective
+    bytes (per denoise step and per clip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.pipelines.pose2vid import Pose2VideoPipeline
+
+    pipe = Pose2VideoPipeline(
+        modules, context_frames=4, context_overlap=2,
+        window_batch=max(mesh.devices.size // 2, 1), mesh=mesh,
+        window_fusion=fused,
+    )
+    res, frames = 32, 8
+    ref_sds = jax.ShapeDtypeStruct((1, res, res, 3), jnp.uint8)
+    clip_sds = jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.uint8)
+    poses_sds = jax.ShapeDtypeStruct((1, frames, res, res, 3), jnp.uint8)
+    ctx_sh, _, banks_sh = jax.eval_shape(
+        pipe._encode_reference,
+        (modules.clip_params, modules.vae_params, modules.reference_params),
+        ref_sds, clip_sds)
+    pose_sh = jax.eval_shape(
+        pipe._pose_features, modules.pose_guider_variables, poses_sds)
+    sampler = pipe._build_sampler(frames, res // 8, res // 8, steps, 3.5, True)
+    lat = jax.ShapeDtypeStruct((1, frames, res // 8, res // 8, 4), jnp.float32)
+    with mesh:
+        txt = sampler.lower(
+            modules.denoising_params, lat, ctx_sh, banks_sh, pose_sh
+        ).compile().as_text()
+    return collective_report(txt, steps)
+
+
 def main():
     import jax
 
@@ -131,6 +191,21 @@ def main():
         ok = "parity OK" if err <= 2 / 255.0 + 1e-12 else f"PARITY FAIL {err}"
         print(f"  {n} devices: warm {t:.2f}s  max|Δ| {err:.2e}  {ok}")
         assert err <= 2 / 255.0 + 1e-12, err
+
+    # --- collective traffic audit (8-device mesh) -------------------------
+    # measures the projection's "cross-device traffic is small" assumption
+    # from the compiled programs themselves
+    from aniportrait_tpu.parallel.mesh import make_mesh as _mk
+
+    for fused, label in ((False, "windowed-exact"), (True, "fused")):
+        kinds, per_step, per_clip = audit_collectives(
+            modules, _mk(8), fused, steps=2
+        )
+        pretty = ", ".join(f"{k} {v/1024:.1f} KiB" for k, v in sorted(kinds.items()))
+        print(
+            f"collectives [{label}, 8 devices, micro 8f]: "
+            f"{per_step/1024:.1f} KiB/step ({pretty or 'none'})"
+        )
 
     # --- train step at 2/4/8 ---------------------------------------------
     print("stage-1 train step (micro, dryrun_multichip):")

@@ -446,6 +446,12 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     def dev_fill(path, sh):
         leaf_idx["i"] += 1
         name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+        # optimizer state MUST stay zeros: Adam's second moment (nu) is a
+        # running mean of SQUARED grads — filling it with N(0, 0.02) puts
+        # negative values under adamw's sqrt and the first update turns the
+        # trainable params (and every later loss) NaN
+        if "opt_state" in jax.tree_util.keystr(path):
+            return jnp.zeros(sh.shape, sh.dtype)
         if name in ("scale", "var", "norm_scale"):
             return jnp.ones(sh.shape, sh.dtype)
         if name in ("bias", "mean", "norm_bias") or not jnp.issubdtype(

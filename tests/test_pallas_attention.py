@@ -171,8 +171,16 @@ def test_natural_temporal_pallas_matches_xla(b, f, s, c, heads):
 
     got = nat_temporal_attention_pallas(qs, kf, vf, frames=f, heads=heads,
                                         interpret=True)
-    ref = _nat_xla_core(f, heads, qs, kf, vf)
+    ref = _nat_xla_core(f, heads, 1.0, qs, kf, vf)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+
+    # in-kernel scale fold == caller-side prescale
+    got_s = nat_temporal_attention_pallas(
+        q.reshape(b * f, s, c), kf, vf, frames=f, heads=heads,
+        scale=float(scale), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref), atol=2e-5,
                                rtol=1e-4)
 
     # the XLA core must itself equal the generic token-layout attention
@@ -195,7 +203,7 @@ def test_natural_temporal_pallas_matches_xla(b, f, s, c, heads):
         return jnp.sum(nat_packed(a, bb, cc, f, heads, True) ** 2)
 
     def loss_x(a, bb, cc):
-        return jnp.sum(_nat_xla_core(f, heads, a, bb, cc) ** 2)
+        return jnp.sum(_nat_xla_core(f, heads, 1.0, a, bb, cc) ** 2)
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2))(qs, kf, vf)
     gx = jax.grad(loss_x, argnums=(0, 1, 2))(qs, kf, vf)
@@ -498,3 +506,110 @@ def test_unshifted_tokens_flash_guard_fallback_underflow():
         np.asarray(jnp.mean(v, 1, keepdims=True)), out.shape
     )
     np.testing.assert_allclose(np.asarray(out), uniform, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "B,SQ,SS,SB,rep",
+    [
+        (4, 40, 40, 40, 2),    # even segments, shared bank rows
+        (2, 40, 48, 30, 1),    # masked bank tail
+        (4, 32, 20, 48, 4),    # masked self tail, bank longer than self
+    ],
+)
+def test_banked_tokens_flash_matches_concat(B, SQ, SS, SB, rep):
+    """Two-segment (self + reference bank) kernel == attention over the
+    materialised ``concat([k, repeat(bank)])`` (the form the reference
+    builds every step at mutual_self_attention.py:147-165)."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        _banked_concat,
+        tok_flash_banked,
+    )
+
+    rs = np.random.RandomState(5)
+    H, D = 2, 8
+    C = H * D
+    q = jnp.asarray(rs.randn(B, SQ, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, SS, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, SS, C).astype(np.float32))
+    kb = jnp.asarray(rs.randn(B // rep, SB, C).astype(np.float32))
+    vb = jnp.asarray(rs.randn(B // rep, SB, C).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        out = tok_flash_banked(
+            q, k, v, kb, vb, H, rep, block_q=16, block_kv=16, interpret=True
+        )
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        skv = kc.shape[1]
+        ref = jax.nn.dot_product_attention(
+            q.reshape(B, SQ, H, D), kc.reshape(B, skv, H, D),
+            vc.reshape(B, skv, H, D),
+        ).reshape(B, SQ, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_banked_tokens_flash_guard_fallback():
+    """Underflowing logits (exp2 flush) must trip the banked kernel's
+    denominator guard and recompute exactly via the running-max fallback."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        _banked_concat,
+        flash_attention_tokens,
+        tok_flash_banked,
+    )
+
+    B, S, H, D = 2, 16, 1, 8
+    C = H * D
+    rs = np.random.RandomState(6)
+    q = np.zeros((B, S, C), np.float32)
+    q[..., 0] = 1e3
+    k = np.zeros((B, S, C), np.float32)
+    k[..., 0] = -1.0
+    kb = np.zeros((B, S, C), np.float32)
+    kb[..., 0] = -1.0
+    v = rs.randn(B, S, C).astype(np.float32)
+    vb = rs.randn(B, S, C).astype(np.float32)
+    q, k, v, kb, vb = map(jnp.asarray, (q, k, v, kb, vb))
+    with jax.default_matmul_precision("highest"):
+        out = tok_flash_banked(
+            q, k, v, kb, vb, H, 1, block_q=16, block_kv=16, interpret=True
+        )
+        kc, vc = _banked_concat(k, v, kb, vb, 1)
+        ref = flash_attention_tokens(
+            q, kc, vc, heads=H, block_q=16, block_kv=16, interpret=True
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_banked_tokens_flash_grad_matches_concat():
+    """Banked custom VJP == grads of the concat formulation."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        _banked_concat,
+        tok_flash_banked,
+    )
+
+    rs = np.random.RandomState(7)
+    B, S, H, D, rep = 2, 16, 2, 8, 2
+    C = H * D
+    q = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    kb = jnp.asarray(rs.randn(B // rep, S, C).astype(np.float32))
+    vb = jnp.asarray(rs.randn(B // rep, S, C).astype(np.float32))
+
+    def loss_banked(q, k, v, kb, vb):
+        return jnp.sum(
+            tok_flash_banked(q, k, v, kb, vb, H, rep, 16, 16, True) ** 2
+        )
+
+    def loss_ref(q, k, v, kb, vb):
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        skv = kc.shape[1]
+        o = jax.nn.dot_product_attention(
+            q.reshape(B, S, H, D), kc.reshape(B, skv, H, D),
+            vc.reshape(B, skv, H, D),
+        )
+        return jnp.sum(o.reshape(B, S, C) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_banked, argnums=(0, 1, 2, 3, 4))(q, k, v, kb, vb)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, kb, vb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
