@@ -107,12 +107,18 @@ class CrossAttention(nn.Module):
                 # blocks with shared accumulators (bit-comparable to the
                 # concat form).  The concat was rebuilt every denoise step
                 # per reference-reading layer (~0.15 s/clip of HBM writes).
+                # Operands go in CHANNEL-MAJOR: swapaxes of the projection
+                # dots' natural {1,2,0} layout is a free bitcast, deleting
+                # the per-operand relayout copy into the Pallas call (30 x
+                # 42 MB per denoise step at top res in the r4 trace).
                 from aniportrait_tpu.ops.pallas_attention import (
-                    tok_flash_banked,
+                    tok_flash_banked_t,
                 )
 
-                out = tok_flash_banked(
-                    q, k, v, ke, ve, self.heads, extra_repeat
+                out = tok_flash_banked_t(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), jnp.swapaxes(ke, 1, 2),
+                    jnp.swapaxes(ve, 1, 2), self.heads, extra_repeat
                 )
                 return nn.Dense(
                     inner, use_bias=True, dtype=self.dtype, name="to_out_0"
@@ -132,13 +138,17 @@ class CrossAttention(nn.Module):
             and inner <= 640  # wider channels exceed the 16M VMEM budget
             and _on_accelerator()
         ):
-            # token-layout flash kernel: blocks cut straight from the (B, S,
-            # C) projections, heads sliced in-kernel — avoids the (B, S, H,
+            # token-layout flash kernel: blocks cut straight from the
+            # projections, heads sliced in-kernel — avoids the (B, S, H,
             # D) head-fold transpose copies in HBM (~11 ms/step in the
-            # trace); bit-exact vs the folded kernel
-            from aniportrait_tpu.ops.pallas_attention import tok_flash
+            # trace); bit-exact vs the folded kernel.  Channel-major
+            # operands (free bitcast of the dot outputs — see banked path).
+            from aniportrait_tpu.ops.pallas_attention import tok_flash_t
 
-            out = tok_flash(q, k, v, self.heads)
+            out = tok_flash_t(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), self.heads
+            )
             return nn.Dense(
                 inner, use_bias=True, dtype=self.dtype, name="to_out_0"
             )(out)

@@ -864,7 +864,7 @@ def flash_attention_tokens_noshift(
 
 
 def _tokf_fwd_kernel(
-    block_kv, skv, n_kv, heads, d, need_mask, scale,
+    block_kv, skv, n_kv, heads, d, need_mask, scale, trans,
     q_ref, k_ref, v_ref,
     o_ref, guard_ref,
     acc_ref, l_ref, qs_ref,
@@ -881,7 +881,18 @@ def _tokf_fwd_kernel(
     logit2 > 127 — post-LayerNorm logits are O(10) base-2) nor flushes an
     entire row to zero (all logits2 < ~-126).  The caller checks the
     returned denominators and falls back to the running-max kernel on
-    either failure, so the output is ALWAYS exact."""
+    either failure, so the output is ALWAYS exact.
+
+    ``trans=True`` reads q/k/v blocks in channel-major ``(C, s)`` layout:
+    the q/k/v projection dots naturally emit ``bf16[b,s,c]{1,2,0}``
+    (physically channel-minor = (b, c, s)), and with token-major operand
+    constraints XLA re-layouts each one into the Pallas custom call — 30
+    copies x 42 MB per denoise step in the r4 trace (~250 ms/clip).  With
+    channel-major blocks the caller's ``swapaxes(proj, 1, 2)`` is a free
+    bitcast of the dot output and the copies vanish; in-kernel the head
+    slice moves to the sublane axis and both dots contract it (lhsT/rhsT
+    forms the MXU natively supports).  Output stays token-major (the
+    out-projection consumes it that way)."""
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -894,16 +905,22 @@ def _tokf_fwd_kernel(
         # -- ~0.1 s/clip of broadcast_multiply/copy in the r4 trace)
         qs_ref[:] = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
 
-    q = qs_ref[:]  # (bq, C) scaled by log2(e)/sqrt(d)
-    k = k_ref[0]  # (bkv, C)
+    q = qs_ref[:]  # (bq, C) — or (C, bq) when trans — scaled by log2(e)/sqrt(d)
+    k = k_ref[0]  # (bkv, C) / (C, bkv)
     v = v_ref[0]
 
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
-        logits = jax.lax.dot_general(
-            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, bkv) f32, base-2 scaled
+        if trans:
+            logits = jax.lax.dot_general(
+                q[sl], k[sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (bq, bkv) f32, base-2 scaled
+        else:
+            logits = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if need_mask:
             cols = ki * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, logits.shape, 1
@@ -911,10 +928,16 @@ def _tokf_fwd_kernel(
             logits = jnp.where(cols < skv, logits, NEG_INF)
         p = jnp.exp2(logits)
         l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
-        acc_ref[:, sl] += jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if trans:
+            acc_ref[:, sl] += jax.lax.dot_general(
+                p.astype(v.dtype), v[sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            acc_ref[:, sl] += jax.lax.dot_general(
+                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(ki == n_kv - 1)
     def _():
@@ -940,14 +963,24 @@ def _tokf_fwd_kernel(
 
 def flash_attention_tokens_unshifted(
     q, k, v, heads: int, block_q: int = 512, block_kv: int = 1024,
-    interpret: bool = False,
+    interpret: bool = False, transposed: bool = False,
 ):
     """Token-layout flash with the unshifted exp2 fast path + runtime
     guard (see ``_tokf_fwd_kernel``).  Returns exactly what
     ``flash_attention_tokens`` returns; recomputes with the running-max
-    kernel iff any denominator over- or underflowed."""
-    b, sq, c = q.shape
-    skv = k.shape[1]
+    kernel iff any denominator over- or underflowed.
+
+    ``transposed=True``: q/k/v arrive channel-major ``(B, C, S)`` (free
+    bitcast of the projection dots' natural output layout); the result is
+    still token-major ``(B, Sq, C)``."""
+    if transposed:
+        b, c, sq = q.shape
+        skv = k.shape[2]
+        s_axis = 2
+    else:
+        b, sq, c = q.shape
+        skv = k.shape[1]
+        s_axis = 1
     d = c // heads
     # softmax scale (x log2 e) is applied IN-KERNEL at q-block load — a
     # caller-side multiply cannot fuse into the Pallas custom call and cost
@@ -963,24 +996,30 @@ def flash_attention_tokens_unshifted(
     sq_p = ((sq + bq - 1) // bq) * bq
     skv_p = ((skv + bkv - 1) // bkv) * bkv
     n_q, n_kv = sq_p // bq, skv_p // bkv
-    qp = _pad_to(q, sq_p, 1)
-    kp = _pad_to(k, skv_p, 1)
-    vp = _pad_to(v, skv_p, 1)
+    qp = _pad_to(q, sq_p, s_axis)
+    kp = _pad_to(k, skv_p, s_axis)
+    vp = _pad_to(v, skv_p, s_axis)
 
     kernel = functools.partial(
-        _tokf_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv, scale2
+        _tokf_fwd_kernel, bkv, skv, n_kv, heads, d, skv_p != skv, scale2,
+        transposed,
     )
+    if transposed:
+        q_spec = pl.BlockSpec((1, c, bq), lambda r, qi, ki: (r, 0, qi),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, c, bkv), lambda r, qi, ki: (r, 0, ki),
+                               memory_space=pltpu.VMEM)
+        qs_scratch = pltpu.VMEM((c, bq), q.dtype)
+    else:
+        q_spec = pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
+                               memory_space=pltpu.VMEM)
+        qs_scratch = pltpu.VMEM((bq, c), q.dtype)
     out, guard = pl.pallas_call(
         kernel,
         grid=(b, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), lambda r, qi, ki: (r, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -994,7 +1033,7 @@ def flash_attention_tokens_unshifted(
         scratch_shapes=[
             pltpu.VMEM((bq, c), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, c), q.dtype),
+            qs_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -1006,14 +1045,20 @@ def flash_attention_tokens_unshifted(
     # value is finite, else -1 — covers underflow AND the PV-accumulator
     # overflow crack, with no full-size l round trip through HBM
     ok = jnp.min(guard) > 1e-30
-    return jax.lax.cond(
-        ok,
-        lambda: out,
-        lambda: flash_attention_tokens(
+
+    def fallback():
+        if transposed:
+            return flash_attention_tokens(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), heads=heads, block_q=block_q0,
+                block_kv=block_kv0, interpret=interpret,
+            )
+        return flash_attention_tokens(
             q, k, v, heads=heads, block_q=block_q0, block_kv=block_kv0,
             interpret=interpret,
-        ),
-    )
+        )
+
+    return jax.lax.cond(ok, lambda: out, fallback)
 
 
 def _tokb_fwd_kernel(
@@ -1251,7 +1296,7 @@ tok_flash.defvjp(_tok_flash_fwd, _tok_flash_bwd)
 
 def _tokf_banked_kernel(
     block_kv, s_self, n_self, s_bank, n_kv, heads, d,
-    mask_self, mask_bank, scale,
+    mask_self, mask_bank, scale, trans,
     q_ref, k_ref, v_ref, kb_ref, vb_ref,
     o_ref, guard_ref,
     acc_ref, l_ref, qs_ref,
@@ -1276,15 +1321,21 @@ def _tokf_banked_kernel(
         # scale folded into q once per q block in VMEM (see _tokf_fwd_kernel)
         qs_ref[:] = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
 
-    q = qs_ref[:]  # (bq, C) scaled by log2(e)/sqrt(d)
+    q = qs_ref[:]  # (bq, C) — or (C, bq) when trans — scaled by log2(e)/sqrt(d)
 
     def accumulate(k, v, need_mask, valid, base_blocks):
         for h in range(heads):
             sl = slice(h * d, (h + 1) * d)
-            logits = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (bq, bkv) f32, base-2 scaled
+            if trans:
+                logits = jax.lax.dot_general(
+                    q[sl], k[sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (bq, bkv) f32, base-2 scaled
+            else:
+                logits = jax.lax.dot_general(
+                    q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             if need_mask:
                 cols = (ki - base_blocks) * block_kv + jax.lax.broadcasted_iota(
                     jnp.int32, logits.shape, 1
@@ -1292,10 +1343,16 @@ def _tokf_banked_kernel(
                 logits = jnp.where(cols < valid, logits, NEG_INF)
             p = jnp.exp2(logits)
             l_ref[:, h : h + 1] += jnp.sum(p, axis=1, keepdims=True)
-            acc_ref[:, sl] += jax.lax.dot_general(
-                p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if trans:
+                acc_ref[:, sl] += jax.lax.dot_general(
+                    p.astype(v.dtype), v[sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                acc_ref[:, sl] += jax.lax.dot_general(
+                    p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
     @pl.when(ki < n_self)
     def _():
@@ -1332,20 +1389,20 @@ def _banked_concat(k, v, kb, vb, rep):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def tok_flash_banked(
-    q, k, v, kb, vb, heads, rep=1, block_q=512, block_kv=1024,
-    interpret=False,
+def _tok_flash_banked_impl(
+    q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret, transposed,
 ):
-    """Token-layout flash attention with a separate reference-bank KV
-    segment: ``q (B, Sq, C)`` attends ``[k | repeat(kb, rep)]`` where
-    ``kb/vb (B//rep, S_bank, C)`` are shared by groups of ``rep``
-    consecutive batch rows.  Guarded exact like ``tok_flash`` (falls back
-    to the running-max kernel on the materialised concat if any softmax
-    denominator over-/underflowed).  Backward differentiates the concat
-    form (training only; inference never takes it)."""
-    b, sq, c = q.shape
-    s_self, s_bank = k.shape[1], kb.shape[1]
+    """Shared body of ``tok_flash_banked`` / ``tok_flash_banked_t``.
+    ``transposed=True`` takes all five operands channel-major ``(B, C, S)``
+    (see ``_tokf_fwd_kernel``); output is token-major either way."""
+    if transposed:
+        b, c, sq = q.shape
+        s_self, s_bank = k.shape[2], kb.shape[2]
+        s_axis = 2
+    else:
+        b, sq, c = q.shape
+        s_self, s_bank = k.shape[1], kb.shape[1]
+        s_axis = 1
     d = c // heads
     scale2 = math.log2(math.e) / math.sqrt(d)  # folded into q IN-KERNEL
     block_q0, block_kv0 = block_q, block_kv
@@ -1364,33 +1421,46 @@ def tok_flash_banked(
     n_q = sq_p // bq
     n_self, n_bank = s_self_p // bkv, s_bank_p // bkv
     n_kv = n_self + n_bank
-    qp = _pad_to(q, sq_p, 1)
-    kp = _pad_to(k, s_self_p, 1)
-    vp = _pad_to(v, s_self_p, 1)
-    kbp = _pad_to(kb, s_bank_p, 1)
-    vbp = _pad_to(vb, s_bank_p, 1)
+    qp = _pad_to(q, sq_p, s_axis)
+    kp = _pad_to(k, s_self_p, s_axis)
+    vp = _pad_to(v, s_self_p, s_axis)
+    kbp = _pad_to(kb, s_bank_p, s_axis)
+    vbp = _pad_to(vb, s_bank_p, s_axis)
 
     kernel = functools.partial(
         _tokf_banked_kernel, bkv, s_self, n_self, s_bank, n_kv, heads, d,
-        s_self_p != s_self, s_bank_p != s_bank, scale2,
+        s_self_p != s_self, s_bank_p != s_bank, scale2, transposed,
     )
     # index maps clamp each segment's block index while the other segment
     # is active, so Mosaic's revisit check sees an unchanged block and skips
     # the DMA (one extra fetch per segment transition, nothing per step)
-    self_blk = lambda r, qi, ki: (r, jnp.minimum(ki, n_self - 1), 0)
-    bank_blk = lambda r, qi, ki: (
-        r // rep, jnp.maximum(ki - n_self, 0), 0,
-    )
+    if transposed:
+        q_blkshape = (1, c, bq)
+        kv_blkshape = (1, c, bkv)
+        q_blk = lambda r, qi, ki: (r, 0, qi)
+        self_blk = lambda r, qi, ki: (r, 0, jnp.minimum(ki, n_self - 1))
+        bank_blk = lambda r, qi, ki: (
+            r // rep, 0, jnp.maximum(ki - n_self, 0),
+        )
+        qs_scratch = pltpu.VMEM((c, bq), q.dtype)
+    else:
+        q_blkshape = (1, bq, c)
+        kv_blkshape = (1, bkv, c)
+        q_blk = lambda r, qi, ki: (r, qi, 0)
+        self_blk = lambda r, qi, ki: (r, jnp.minimum(ki, n_self - 1), 0)
+        bank_blk = lambda r, qi, ki: (
+            r // rep, jnp.maximum(ki - n_self, 0), 0,
+        )
+        qs_scratch = pltpu.VMEM((bq, c), q.dtype)
     out, guard = pl.pallas_call(
         kernel,
         grid=(b, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), self_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), self_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), bank_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bkv, c), bank_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(q_blkshape, q_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kv_blkshape, self_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kv_blkshape, self_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kv_blkshape, bank_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kv_blkshape, bank_blk, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, c), lambda r, qi, ki: (r, qi, 0),
@@ -1405,7 +1475,7 @@ def tok_flash_banked(
         scratch_shapes=[
             pltpu.VMEM((bq, c), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, c), q.dtype),
+            qs_scratch,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -1416,13 +1486,36 @@ def tok_flash_banked(
     ok = jnp.min(guard) > 1e-30
 
     def fallback():
-        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        if transposed:
+            qs, ks, vs, kbs, vbs = (
+                jnp.swapaxes(t, 1, 2) for t in (q, k, v, kb, vb)
+            )
+        else:
+            qs, ks, vs, kbs, vbs = q, k, v, kb, vb
+        kc, vc = _banked_concat(ks, vs, kbs, vbs, rep)
         return flash_attention_tokens(
-            q, kc, vc, heads=heads, block_q=block_q0, block_kv=block_kv0,
+            qs, kc, vc, heads=heads, block_q=block_q0, block_kv=block_kv0,
             interpret=interpret,
         )
 
     return jax.lax.cond(ok, lambda: out, fallback)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def tok_flash_banked(
+    q, k, v, kb, vb, heads, rep=1, block_q=512, block_kv=1024,
+    interpret=False,
+):
+    """Token-layout flash attention with a separate reference-bank KV
+    segment: ``q (B, Sq, C)`` attends ``[k | repeat(kb, rep)]`` where
+    ``kb/vb (B//rep, S_bank, C)`` are shared by groups of ``rep``
+    consecutive batch rows.  Guarded exact like ``tok_flash`` (falls back
+    to the running-max kernel on the materialised concat if any softmax
+    denominator over-/underflowed).  Backward differentiates the concat
+    form (training only; inference never takes it)."""
+    return _tok_flash_banked_impl(
+        q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret, False,
+    )
 
 
 def _tok_flash_banked_fwd(q, k, v, kb, vb, heads, rep, block_q, block_kv,
@@ -1455,6 +1548,95 @@ def _tok_flash_banked_bwd(heads, rep, block_q, block_kv, interpret, res, g):
 
 
 tok_flash_banked.defvjp(_tok_flash_banked_fwd, _tok_flash_banked_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tok_flash_t(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
+    """``tok_flash`` with channel-major ``(B, C, S)`` operands: the caller's
+    ``swapaxes(proj, 1, 2)`` of the q/k/v projection dots is a free bitcast
+    of their natural ``{1,2,0}`` output layout, deleting the 42 MB
+    relayout copy per operand that the token-major operand constraint
+    forced (r4 trace: 30 copies x 42 MB per denoise step at top res).
+    Output is token-major ``(B, Sq, C)`` like ``tok_flash``."""
+    return flash_attention_tokens_unshifted(
+        q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
+        interpret=interpret, transposed=True,
+    )
+
+
+def _tok_flash_t_fwd(q, k, v, heads, block_q, block_kv, interpret):
+    return tok_flash_t(q, k, v, heads, block_q, block_kv, interpret), (q, k, v)
+
+
+def _tok_flash_t_bwd(heads, block_q, block_kv, interpret, res, g):
+    qt, kt, vt = res
+
+    def f(qt, kt, vt):
+        q = jnp.swapaxes(qt, 1, 2)
+        k = jnp.swapaxes(kt, 1, 2)
+        v = jnp.swapaxes(vt, 1, 2)
+        b, s, c = q.shape
+        skv = k.shape[1]
+        d = c // heads
+        out = _flash(
+            q.reshape(b, s, heads, d),
+            k.reshape(b, skv, heads, d),
+            v.reshape(b, skv, heads, d),
+            jnp.zeros((b,), jnp.int32), None, block_q, block_kv, interpret,
+        )
+        return out.reshape(b, s, c)
+
+    _, vjp = jax.vjp(f, qt, kt, vt)
+    return vjp(g)
+
+
+tok_flash_t.defvjp(_tok_flash_t_fwd, _tok_flash_t_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def tok_flash_banked_t(
+    q, k, v, kb, vb, heads, rep=1, block_q=512, block_kv=1024,
+    interpret=False,
+):
+    """``tok_flash_banked`` with channel-major ``(B, C, S)`` operands (see
+    ``tok_flash_t`` for why); output token-major ``(B, Sq, C)``."""
+    return _tok_flash_banked_impl(
+        q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret, True,
+    )
+
+
+def _tok_flash_banked_t_fwd(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                            interpret):
+    return (
+        tok_flash_banked_t(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                           interpret),
+        (q, k, v, kb, vb),
+    )
+
+
+def _tok_flash_banked_t_bwd(heads, rep, block_q, block_kv, interpret, res, g):
+    qt, kt, vt, kbt, vbt = res
+
+    def f(qt, kt, vt, kbt, vbt):
+        q, k, v, kb, vb = (jnp.swapaxes(t, 1, 2)
+                           for t in (qt, kt, vt, kbt, vbt))
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        b, s, c = q.shape
+        skv = kc.shape[1]
+        d = c // heads
+        out = _flash(
+            q.reshape(b, s, heads, d),
+            kc.reshape(b, skv, heads, d),
+            vc.reshape(b, skv, heads, d),
+            jnp.zeros((b,), jnp.int32), None, block_q, block_kv, interpret,
+        )
+        return out.reshape(b, s, c)
+
+    _, vjp = jax.vjp(f, qt, kt, vt, kbt, vbt)
+    return vjp(g)
+
+
+tok_flash_banked_t.defvjp(_tok_flash_banked_t_fwd, _tok_flash_banked_t_bwd)
 
 
 # ---------------------------------------------------------- small-seq packed

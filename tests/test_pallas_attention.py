@@ -613,3 +613,138 @@ def test_banked_tokens_flash_grad_matches_concat():
         g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, kb, vb)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
+
+
+def test_transposed_tokens_flash_matches_standard():
+    """Channel-major (B, C, S) operand kernel == token-major kernel ==
+    XLA oracle; includes uneven KV tails (pad/mask on the lane axis)."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        flash_attention_tokens,
+        flash_attention_tokens_unshifted,
+    )
+
+    rs = np.random.RandomState(11)
+    B, H, D = 2, 4, 16
+    C = H * D
+    for sq, skv in [(32, 32), (32, 48), (48, 40)]:
+        q = jnp.asarray(rs.randn(B, sq, C).astype(np.float32))
+        k = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        v = jnp.asarray(rs.randn(B, skv, C).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            ref = flash_attention_tokens(
+                q, k, v, heads=H, block_q=16, block_kv=16, interpret=True
+            )
+            out = flash_attention_tokens_unshifted(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                heads=H, block_q=16, block_kv=16, interpret=True,
+                transposed=True,
+            )
+        assert out.shape == (B, sq, C)  # output stays token-major
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_transposed_tokens_flash_grad_matches_oracle():
+    """tok_flash_t custom VJP == grads of the XLA oracle, with the
+    channel-major operand convention (grads come back channel-major)."""
+    from aniportrait_tpu.ops.pallas_attention import tok_flash_t
+
+    rs = np.random.RandomState(12)
+    B, S, H, D = 2, 16, 2, 8
+    C = H * D
+    qt = jnp.asarray(rs.randn(B, C, S).astype(np.float32))
+    kt = jnp.asarray(rs.randn(B, C, S).astype(np.float32))
+    vt = jnp.asarray(rs.randn(B, C, S).astype(np.float32))
+
+    def loss_t(qt, kt, vt):
+        return jnp.sum(tok_flash_t(qt, kt, vt, H, 16, 16, True) ** 2)
+
+    def loss_ref(qt, kt, vt):
+        q, k, v = (jnp.swapaxes(t, 1, 2) for t in (qt, kt, vt))
+        o = jax.nn.dot_product_attention(
+            q.reshape(B, S, H, D), k.reshape(B, S, H, D),
+            v.reshape(B, S, H, D),
+        )
+        return jnp.sum(o.reshape(B, S, C) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_t, argnums=(0, 1, 2))(qt, kt, vt)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qt, kt, vt)
+    for a, b in zip(g1, g2):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   rtol=1e-3)
+
+
+@pytest.mark.parametrize("B,SQ,SS,SB,rep", [
+    (2, 16, 16, 16, 1),
+    (4, 32, 32, 16, 2),
+    (2, 32, 24, 40, 2),
+])
+def test_transposed_banked_matches_standard(B, SQ, SS, SB, rep):
+    """Channel-major banked two-segment kernel == token-major banked kernel
+    (both guarded-exact against the concat form)."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        tok_flash_banked,
+        tok_flash_banked_t,
+    )
+
+    rs = np.random.RandomState(13)
+    H, D = 2, 8
+    C = H * D
+    q = jnp.asarray(rs.randn(B, SQ, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, SS, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, SS, C).astype(np.float32))
+    kb = jnp.asarray(rs.randn(B // rep, SB, C).astype(np.float32))
+    vb = jnp.asarray(rs.randn(B // rep, SB, C).astype(np.float32))
+    with jax.default_matmul_precision("highest"):
+        ref = tok_flash_banked(q, k, v, kb, vb, H, rep, 16, 16, True)
+        out = tok_flash_banked_t(
+            *(jnp.swapaxes(t, 1, 2) for t in (q, k, v, kb, vb)),
+            H, rep, 16, 16, True,
+        )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_transposed_banked_grad_matches_concat():
+    """tok_flash_banked_t custom VJP == concat-form grads, channel-major."""
+    from aniportrait_tpu.ops.pallas_attention import (
+        _banked_concat,
+        tok_flash_banked_t,
+    )
+
+    rs = np.random.RandomState(14)
+    B, S, H, D, rep = 2, 16, 2, 8, 2
+    C = H * D
+    q = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    k = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    v = jnp.asarray(rs.randn(B, S, C).astype(np.float32))
+    kb = jnp.asarray(rs.randn(B // rep, S, C).astype(np.float32))
+    vb = jnp.asarray(rs.randn(B // rep, S, C).astype(np.float32))
+    ts = tuple(jnp.swapaxes(t, 1, 2) for t in (q, k, v, kb, vb))
+
+    def loss_t(*ts):
+        return jnp.sum(tok_flash_banked_t(*ts, H, rep, 16, 16, True) ** 2)
+
+    def loss_ref(q, k, v, kb, vb):
+        kc, vc = _banked_concat(k, v, kb, vb, rep)
+        skv = kc.shape[1]
+        o = jax.nn.dot_product_attention(
+            q.reshape(B, S, H, D), kc.reshape(B, skv, H, D),
+            vc.reshape(B, skv, H, D),
+        )
+        return jnp.sum(o.reshape(B, S, C) ** 2)
+
+    with jax.default_matmul_precision("highest"):
+        g1 = jax.grad(loss_t, argnums=(0, 1, 2, 3, 4))(*ts)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(q, k, v, kb, vb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(jnp.swapaxes(b, 1, 2)), atol=2e-4,
+            rtol=1e-3,
+        )
