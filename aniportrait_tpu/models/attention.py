@@ -141,14 +141,23 @@ class CrossAttention(nn.Module):
             # token-layout flash kernel: blocks cut straight from the
             # projections, heads sliced in-kernel — avoids the (B, S, H,
             # D) head-fold transpose copies in HBM (~11 ms/step in the
-            # trace); bit-exact vs the folded kernel.  Channel-major
-            # operands (free bitcast of the dot outputs — see banked path).
-            from aniportrait_tpu.ops.pallas_attention import tok_flash_t
+            # trace); bit-exact vs the folded kernel.  At inner<=320 the
+            # projection dots emit channel-major, so channel-major kernel
+            # operands make the swapaxes a free bitcast; at c=640 XLA emits
+            # the dots TOKEN-major and the transposed form would pay the
+            # copy instead (r4 trace: 20 x 1.3 MB/step) — keep token-major
+            # there.
+            if inner <= 320:
+                from aniportrait_tpu.ops.pallas_attention import tok_flash_t
 
-            out = tok_flash_t(
-                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2), self.heads
-            )
+                out = tok_flash_t(
+                    jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                    jnp.swapaxes(v, 1, 2), self.heads
+                )
+            else:
+                from aniportrait_tpu.ops.pallas_attention import tok_flash
+
+                out = tok_flash(q, k, v, self.heads)
             return nn.Dense(
                 inner, use_bias=True, dtype=self.dtype, name="to_out_0"
             )(out)
