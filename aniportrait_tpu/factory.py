@@ -151,22 +151,40 @@ def _fill_abstract(tree, seed: int = 0):
     return jax.tree_util.tree_map_with_path(fill, tree)
 
 
-def init_abstract_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules:
-    """Like :func:`init_random_params` but with ZERO XLA compilation —
-    shapes from ``jax.eval_shape``, values from numpy. Use wherever real
-    pretrained weights will be loaded anyway or only plumbing is tested
-    (the driver's ``dryrun_multichip``, sharding tests)."""
+def init_shape_params(defs: Dict[str, Any]) -> PipelineModules:
+    """PipelineModules whose parameter leaves are ``ShapeDtypeStruct``s —
+    no host or device memory allocated.  Only usable for shape-level work
+    (AOT ``lower().compile()``, ``eval_shape``): e.g. the HBM accounting
+    of full-size samplers in ``scripts/memory_report.py``, where
+    materialising ~3.4 GB of zero weights would be pure waste."""
+    shapes = _abstract_shapes(defs)
+    return PipelineModules(
+        vae=defs["vae"],
+        vae_params=shapes["vae"]["params"],
+        clip=defs["clip"],
+        clip_params=shapes["clip"]["params"],
+        reference_unet=defs["reference_unet"],
+        reference_params=shapes["ref"]["params"],
+        denoising_unet=defs["denoising_unet"],
+        denoising_params=shapes["den"]["params"],
+        pose_guider=defs["pose_guider"],
+        pose_guider_variables=shapes["pg"],
+        scheduler=defs["scheduler"],
+    )
+
+
+def _abstract_shapes(defs: Dict[str, Any]):
     cfg = SIZES[defs["size"]]
     proj = cfg["clip"]["projection_dim"]
     img = cfg["clip"]["image_size"]
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(0)
 
     x1 = jnp.zeros((1, 1, 8, 8, 4))
     t = jnp.zeros((1,), jnp.int32)
     ctx = jnp.zeros((1, 1, proj))
     pose_fea = [jnp.zeros(s) for s in pose_feature_shapes(cfg, 1, 1, 8)]
 
-    shapes = dict(
+    return dict(
         vae=jax.eval_shape(defs["vae"].init, key, jnp.zeros((1, 64, 64, 3))),
         clip=jax.eval_shape(defs["clip"].init, key, jnp.zeros((1, img, img, 3))),
         ref=jax.eval_shape(
@@ -179,7 +197,14 @@ def init_abstract_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules
         ),
         pg=jax.eval_shape(defs["pose_guider"].init, key, jnp.zeros((1, 1, 64, 64, 3))),
     )
-    vals = _fill_abstract(shapes, seed)
+
+
+def init_abstract_params(defs: Dict[str, Any], seed: int = 0) -> PipelineModules:
+    """Like :func:`init_random_params` but with ZERO XLA compilation —
+    shapes from ``jax.eval_shape``, values from numpy. Use wherever real
+    pretrained weights will be loaded anyway or only plumbing is tested
+    (the driver's ``dryrun_multichip``, sharding tests)."""
+    vals = _fill_abstract(_abstract_shapes(defs), seed)
 
     return PipelineModules(
         vae=defs["vae"],

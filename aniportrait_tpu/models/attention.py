@@ -29,6 +29,7 @@ import flax.linen as nn
 from aniportrait_tpu.ops.attention import (
     FLASH_MIN_LOGITS,
     _on_accelerator,
+    interpret_default,
     scaled_dot_product_attention,
     temporal_attention_4d,
 )
@@ -92,7 +93,10 @@ class CrossAttention(nn.Module):
                 mask_bias is None
                 and kv_split is None
                 and drop_tail is None
-                and q.shape[1] * (k.shape[1] + ke.shape[1] * extra_repeat)
+                # per-row logits are Sq x (S_self + S_bank) regardless of
+                # extra_repeat (the repeat tiles the BATCH axis) — same
+                # threshold as the concat path below
+                and q.shape[1] * (k.shape[1] + ke.shape[1])
                 >= FLASH_MIN_LOGITS
                 and self.dim_head <= 256
                 # c=640 would need a block_kv shrink to fit the 4 double-
@@ -118,7 +122,8 @@ class CrossAttention(nn.Module):
                 out = tok_flash_banked_t(
                     jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                     jnp.swapaxes(v, 1, 2), jnp.swapaxes(ke, 1, 2),
-                    jnp.swapaxes(ve, 1, 2), self.heads, extra_repeat
+                    jnp.swapaxes(ve, 1, 2), self.heads, extra_repeat,
+                    512, 1024, interpret_default(),
                 )
                 return nn.Dense(
                     inner, use_bias=True, dtype=self.dtype, name="to_out_0"
@@ -152,12 +157,14 @@ class CrossAttention(nn.Module):
 
                 out = tok_flash_t(
                     jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
-                    jnp.swapaxes(v, 1, 2), self.heads
+                    jnp.swapaxes(v, 1, 2), self.heads,
+                    512, 1024, interpret_default(),
                 )
             else:
                 from aniportrait_tpu.ops.pallas_attention import tok_flash
 
-                out = tok_flash(q, k, v, self.heads)
+                out = tok_flash(q, k, v, self.heads,
+                                512, 1024, interpret_default())
             return nn.Dense(
                 inner, use_bias=True, dtype=self.dtype, name="to_out_0"
             )(out)

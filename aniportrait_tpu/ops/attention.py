@@ -79,7 +79,7 @@ def small_seq_attention(
             qs.reshape(n, g * s, c),
             ks.reshape(n, g * s, c),
             vs.reshape(n, g * s, c),
-            s, h, not _on_accelerator(),
+            s, h, interpret_default(),
             float(d ** -0.5) * math.log2(math.e),
         )
         return (
@@ -119,8 +119,22 @@ def small_seq_attention(
     return out.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
+def _force_pallas() -> bool:
+    # test/dryrun knob: dispatch the Pallas kernels in interpret mode on
+    # the CPU backend, so the KERNEL path (not the XLA fallback) can be
+    # exercised under the virtual multi-device mesh without TPU hardware
+    return os.environ.get("ANIPORTRAIT_FORCE_PALLAS", "") == "interpret"
+
+
 def _on_accelerator() -> bool:
-    return jax.default_backend() not in ("cpu",)
+    return jax.default_backend() not in ("cpu",) or _force_pallas()
+
+
+def interpret_default() -> bool:
+    """interpret= flag the kernel dispatches should pass through: whenever
+    a Pallas kernel is about to run on the CPU backend (forced dispatch or
+    an explicit impl='pallas'), it must run in interpret mode."""
+    return jax.default_backend() in ("cpu",)
 
 
 def temporal_attention_4d(
@@ -150,7 +164,7 @@ def temporal_attention_4d(
             q.reshape(b * f, s, c),
             k.reshape(b * f, s, c),
             v.reshape(b * f, s, c),
-            f, heads, False,
+            f, heads, interpret_default(),
             math.log2(math.e) * float(d) ** -0.5,
         )
         return out.reshape(b, f, s, c)
@@ -212,9 +226,12 @@ def scaled_dot_product_attention(
         if kv_split is not None and drop_tail is not None:
             # bank-drop fused into the kernel mask: ONE pass (the old path
             # dispatched concat + self-only and selected — 2x the FLOPs)
-            return flash_attention(q, k, v, drop_tail=drop_tail, kv_split=kv_split)
+            return flash_attention(
+                q, k, v, drop_tail=drop_tail, kv_split=kv_split,
+                interpret=interpret_default(),
+            )
         if bias is None:
-            return flash_attention(q, k, v)
+            return flash_attention(q, k, v, interpret=interpret_default())
         # biased big attention falls through to XLA
 
     if impl == "naive":

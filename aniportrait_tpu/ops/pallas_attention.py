@@ -32,6 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from aniportrait_tpu.ops.partition import (
+    make_partitioned,
+    axes_of,
+    prod_axes,
+    nd_spec,
+)
+from jax.sharding import NamedSharding
+
 NEG_INF = -1e30  # f32 logits; exp(NEG_INF - m) == 0 exactly
 
 
@@ -336,13 +344,25 @@ def _flash_nopad(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
     return out.reshape(b, h, sq_p, d)[:, :, :sq].transpose(0, 2, 1, 3)
 
 
+# mesh dispatch: rows (batch) may shard, seq/head/depth replicated — each
+# shard runs the identical kernel on its local rows (see ops/partition.py)
+_p_flash_nopad = make_partitioned(
+    "flash_nopad",
+    _flash_nopad,
+    rule="b sq h d, b skv h d, b skv h d, b -> b sq h d",
+    n_static=4,
+    need_replication=("sq", "skv", "h", "d"),
+    batch_dims=(0, 0, 0, 0),
+)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
 )
 def _flash(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
     # primal-only call (inference): native-layout kernel, no LSE residual,
     # no head-fold/pad HBM traffic
-    return _flash_nopad(
+    return _p_flash_nopad(
         q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
     )
 
@@ -404,17 +424,51 @@ def _flash_fwd_impl(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
     return out_bshd, (qf, kf, vf, drop, out, lse)
 
 
+# training forward: out shards like q; the folded residuals' (b*h) row
+# axis shards by the same mesh axes as b (h stays whole per shard — the
+# fold is b-major/h-minor, matching the compound factor ``(b h)``).
+# Shardy rejects compound factors containing a size-1 factor, so the rule
+# degenerates when b == 1 (no batch sharding possible) or h == 1.
+def _flash_fwd_rule(shapes, kv_split, bq, bkv, interp):
+    b, _, h, _ = shapes[0]
+    head = "b sq h d, b skv h d, b skv h d, b -> b sq h d, "
+    if h == 1:
+        res = ("b sqp dp, b kvp dp, b kvp dp, b uno, b sqp dp, b sqp el")
+    elif b == 1:
+        res = ("rows sqp dp, rows kvp dp, rows kvp dp, rows uno, "
+               "rows sqp dp, rows sqp el")
+    else:
+        res = ("(b h) sqp dp, (b h) kvp dp, (b h) kvp dp, (b h) uno, "
+               "(b h) sqp dp, (b h) sqp el")
+    return head + res, {}
+
+
+_p_flash_fwd_impl = make_partitioned(
+    "flash_fwd",
+    lambda q, k, v, dr, kv_split, bq, bkv, interp: _flash_fwd_impl(
+        q, k, v, dr, kv_split, bq, bkv, interp, want_lse=True
+    ),
+    rule=_flash_fwd_rule,
+    n_static=4,
+    need_replication=(
+        "sq", "skv", "h", "d", "sqp", "kvp", "dp", "uno", "el", "rows",
+    ),
+    batch_dims=(0, 0, 0, 0),
+    out_batch_dims=(0, 0, 0, 0, 0, 0, 0),
+)
+
+
 def _flash_fwd(q, k, v, drop_rows, kv_split, block_q, block_kv, interpret):
-    out, res = _flash_fwd_impl(
-        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret,
-        want_lse=True,
+    out, res = _p_flash_fwd_impl(
+        q, k, v, drop_rows, kv_split, block_q, block_kv, interpret
     )
     return out, (res, q.shape, k.shape[1])
 
 
-def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
-    (qf, kf, vf, drop, out_p, lse), q_shape, skv = saved
-    b, sq, h, d = q_shape
+def _flash_bwd_kernels(qf, kf, vf, drop, dof, lse, delta, sq, skv, d,
+                       kv_split, block_q, block_kv, interpret):
+    """dq then dk+dv flash-backward kernels over folded (rows, S, Dp)
+    operands; separated out so the row axis can mesh-partition."""
     scale = 1.0 / math.sqrt(d)
     rows, sq_p, dp = qf.shape
     skv_p = kf.shape[1]
@@ -429,14 +483,6 @@ def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
     while bkv > 1024:
         bkv //= 2
     n_q, n_kv = sq_p // bq, skv_p // bkv
-
-    dof = _pad_to(_fold_heads(g.astype(qf.dtype), dp), sq_p, 1)
-    # delta = rowsum(do * o) over the TRUE head dim (padding is zero anyway)
-    delta = jnp.sum(
-        dof.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1,
-        keepdims=True,
-    )
-    delta = jnp.broadcast_to(delta, (rows, sq_p, 128))
 
     need_mask = kv_split is not None or skv_p != skv
     dq = pl.pallas_call(
@@ -508,6 +554,39 @@ def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
         ),
         interpret=interpret,
     )(qf, kf, vf, drop, dof, lse, delta)
+    return dq, dk, dv
+
+
+_p_flash_bwd_kernels = make_partitioned(
+    "flash_bwd",
+    _flash_bwd_kernels,
+    rule=(
+        "r sqp dp, r kvp dp, r kvp dp, r uno, r sqp dp, r sqp el, "
+        "r sqp el -> r sqp dp, r kvp dp, r kvp dp"
+    ),
+    n_static=7,
+    need_replication=("sqp", "kvp", "dp", "uno", "el"),
+    batch_dims=(0, 0, 0, 0, 0, 0, 0),
+    out_batch_dims=(0, 0, 0),
+)
+
+
+def _flash_bwd(kv_split, block_q, block_kv, interpret, saved, g):
+    (qf, kf, vf, drop, out_p, lse), q_shape, skv = saved
+    b, sq, h, d = q_shape
+    rows, sq_p, dp = qf.shape
+
+    dof = _pad_to(_fold_heads(g.astype(qf.dtype), dp), sq_p, 1)
+    # delta = rowsum(do * o) over the TRUE head dim (padding is zero anyway)
+    delta = jnp.sum(
+        dof.astype(jnp.float32) * out_p.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    delta = jnp.broadcast_to(delta, (rows, sq_p, 128))
+    dq, dk, dv = _p_flash_bwd_kernels(
+        qf, kf, vf, drop, dof, lse, delta, sq, skv, d, kv_split, block_q,
+        block_kv, interpret,
+    )
 
     def unfold(x, s):
         return (
@@ -1251,6 +1330,31 @@ def flash_attention_tokens_bounded(
     )
 
 
+_p_tokf = make_partitioned(
+    "tokf",
+    lambda q, k, v, heads, bq, bkv, interp: flash_attention_tokens_unshifted(
+        q, k, v, heads=heads, block_q=bq, block_kv=bkv, interpret=interp,
+        transposed=False,
+    ),
+    rule="b sq c, b skv c, b skv c -> b sq c",
+    n_static=4,
+    need_replication=("sq", "skv", "c"),
+    batch_dims=(0, 0, 0),
+)
+
+_p_tokf_t = make_partitioned(
+    "tokf_t",
+    lambda q, k, v, heads, bq, bkv, interp: flash_attention_tokens_unshifted(
+        q, k, v, heads=heads, block_q=bq, block_kv=bkv, interpret=interp,
+        transposed=True,
+    ),
+    rule="b c sq, b c skv, b c skv -> b sq c",
+    n_static=4,
+    need_replication=("sq", "skv", "c"),
+    batch_dims=(0, 0, 0),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
     """Differentiable token-layout flash attention: UNSHIFTED exp2 Pallas
@@ -1262,10 +1366,7 @@ def tok_flash(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
     kernel if any softmax denominator over- or underflowed without the
     shift).  Backward via the head-folded flash VJP (recompute; training
     only)."""
-    return flash_attention_tokens_unshifted(
-        q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
-        interpret=interpret,
-    )
+    return _p_tokf(q, k, v, heads, block_q, block_kv, interpret)
 
 
 def _tok_flash_fwd(q, k, v, heads, block_q, block_kv, interpret):
@@ -1501,6 +1602,76 @@ def _tok_flash_banked_impl(
     return jax.lax.cond(ok, lambda: out, fallback)
 
 
+def _check_banked_shapes(q, kb, vb, rep):
+    """Loud shape validation: the banked kernel's ``r // rep`` bank index
+    map would silently read the wrong bank row on a batch mismatch (the
+    old concat+repeat form failed with a shape error instead)."""
+    if kb.shape[0] * rep != q.shape[0] or vb.shape != kb.shape:
+        raise ValueError(
+            f"banked attention batch mismatch: q batch {q.shape[0]} != "
+            f"bank batch {kb.shape[0]} x rep {rep} (vb {vb.shape})"
+        )
+
+
+def _banked_dispatch(transposed):
+    def impl(q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret):
+        # rep re-derived from (possibly per-shard local) shapes: under the
+        # mesh each shard holds rep/frame-ways rows per bank row
+        rep_local = q.shape[0] // kb.shape[0]
+        return _tok_flash_banked_impl(
+            q, k, v, kb, vb, heads, rep_local, block_q, block_kv, interpret,
+            transposed,
+        )
+    return impl
+
+
+def _banked_rule(transposed):
+    """Rule for the two-segment banked kernel; degenerates when the bank
+    batch n or the repeat r is 1 (Shardy rejects size-1 factors inside
+    compound factors)."""
+
+    def fn(shapes, heads, rep, bq, bkv, interp):
+        n = shapes[3][0]
+        if transposed:
+            q, k, bk = "c sq", "c sk", "c sb"
+        else:
+            q, k, bk = "sq c", "sk c", "sb c"
+        if n == 1:
+            lead, bank, sizes = "b", "n1", {}
+        elif rep == 1:
+            lead, bank, sizes = "b", "b", {}
+        else:
+            lead, bank, sizes = "(n r)", "n", {"r": rep}
+        return (
+            f"{lead} {q}, {lead} {k}, {lead} {k}, {bank} {bk}, {bank} {bk}"
+            f" -> {lead} sq c",
+            sizes,
+        )
+
+    return fn
+
+
+_p_banked = make_partitioned(
+    "tok_banked",
+    _banked_dispatch(False),
+    rule=_banked_rule(False),
+    n_static=5,
+    need_replication=("sq", "sk", "sb", "c", "n1"),
+    batch_dims=(0, 0, 0, 0, 0),
+    bank_ops=(3, 4),
+)
+
+_p_banked_t = make_partitioned(
+    "tok_banked_t",
+    _banked_dispatch(True),
+    rule=_banked_rule(True),
+    n_static=5,
+    need_replication=("sq", "sk", "sb", "c", "n1"),
+    batch_dims=(0, 0, 0, 0, 0),
+    bank_ops=(3, 4),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def tok_flash_banked(
     q, k, v, kb, vb, heads, rep=1, block_q=512, block_kv=1024,
@@ -1513,9 +1684,9 @@ def tok_flash_banked(
     to the running-max kernel on the materialised concat if any softmax
     denominator over-/underflowed).  Backward differentiates the concat
     form (training only; inference never takes it)."""
-    return _tok_flash_banked_impl(
-        q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret, False,
-    )
+    _check_banked_shapes(q, kb, vb, rep)
+    return _p_banked(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                     interpret)
 
 
 def _tok_flash_banked_fwd(q, k, v, kb, vb, heads, rep, block_q, block_kv,
@@ -1558,10 +1729,7 @@ def tok_flash_t(q, k, v, heads, block_q=512, block_kv=1024, interpret=False):
     relayout copy per operand that the token-major operand constraint
     forced (r4 trace: 30 copies x 42 MB per denoise step at top res).
     Output is token-major ``(B, Sq, C)`` like ``tok_flash``."""
-    return flash_attention_tokens_unshifted(
-        q, k, v, heads=heads, block_q=block_q, block_kv=block_kv,
-        interpret=interpret, transposed=True,
-    )
+    return _p_tokf_t(q, k, v, heads, block_q, block_kv, interpret)
 
 
 def _tok_flash_t_fwd(q, k, v, heads, block_q, block_kv, interpret):
@@ -1600,9 +1768,9 @@ def tok_flash_banked_t(
 ):
     """``tok_flash_banked`` with channel-major ``(B, C, S)`` operands (see
     ``tok_flash_t`` for why); output token-major ``(B, Sq, C)``."""
-    return _tok_flash_banked_impl(
-        q, k, v, kb, vb, heads, rep, block_q, block_kv, interpret, True,
-    )
+    _check_banked_shapes(q, kb, vb, rep)
+    return _p_banked_t(q, k, v, kb, vb, heads, rep, block_q, block_kv,
+                       interpret)
 
 
 def _tok_flash_banked_t_fwd(q, k, v, kb, vb, heads, rep, block_q, block_kv,
@@ -1750,8 +1918,12 @@ def _ctg_kernel(s, heads, d, scale, q_ref, k_ref, v_ref, o_ref):
 def ctg_seq_attention_pallas(qp, kp, vp, seq: int, heads: int,
                              scale: float = 1.0,
                              interpret: bool = False):
-    """Packed tiles (n, T, C) of CONTIGUOUS sequences of length ``seq``
-    (pre-scaled q); C = heads * d.  Returns (n, T, C)."""
+    """Packed tiles (n, T, C) of CONTIGUOUS sequences of length ``seq``;
+    C = heads * d.  Returns (n, T, C).
+
+    ``scale`` multiplies q INSIDE the kernel (callers pass the softmax
+    scale x log2(e); the kernel exponentiates with exp2).  The default
+    1.0 keeps the legacy contract where q arrives pre-scaled."""
     n, t, c = qp.shape
     d = c // heads
     # tiles per grid step: enough to amortise DMA issue, capped so the
@@ -1846,9 +2018,11 @@ def _nat_kernel(f, P, nb, heads, d, scale, q_ref, k_ref, v_ref, o_ref):
 def nat_temporal_attention_pallas(qbf, kbf, vbf, frames: int, heads: int,
                                   scale: float = 1.0,
                                   interpret: bool = False):
-    """Temporal attention over (b*f, s, c) activations in natural layout
-    (q pre-scaled by ``log2(e)/sqrt(d)`` — base-2 softmax contract, see
-    ``_nat_kernel``).  Packs P spatial positions per tile with
+    """Temporal attention over (b*f, s, c) activations in natural layout.
+    ``scale`` multiplies q INSIDE the kernel — callers pass the softmax
+    scale x log2(e) (base-2 contract, see ``_nat_kernel``); the default
+    1.0 keeps the legacy pre-scaled-q behaviour.
+    Packs P spatial positions per tile with
     P = largest power of two <= 128 // frames (a power of two so it divides
     the spatial extent); requires s % (P*nb) == 0 — the caller gates on
     that.  For 128 % frames == 0 the f*P tile fills all 128 rows; other
@@ -1908,15 +2082,61 @@ def _nat_xla_core(frames, heads, scale, qbf, kbf, vbf):
     )
 
 
+def _nat_sanitize(mesh, arg_shapes, result_shapes, statics):
+    """Mesh shardings for the natural-layout temporal kernel: the (b*f)
+    row axis shards in whole-f groups (frames of one clip row interact);
+    the spatial axis s is per-position independent and may ALSO shard —
+    but only when the per-shard extent stays a multiple of the kernel's
+    packing factor P (else the local pack would not tile)."""
+    frames = statics[0]
+    q = arg_shapes[0]
+    bf, s, _ = q.shape
+    ax0 = axes_of(q.sharding, 0)
+    ax1 = axes_of(q.sharding, 1)
+    b = bf // frames
+    if ax0 and (b == 0 or b % prod_axes(mesh, ax0) != 0):
+        ax0 = ()
+    P = 1 << int(math.log2(128 // frames)) if 2 <= frames <= 64 else 1
+    n1 = prod_axes(mesh, ax1)
+    if ax1 and (s % n1 != 0 or (s // n1) % P != 0):
+        ax1 = ()
+    sh = NamedSharding(mesh, nd_spec(3, {0: ax0, 1: ax1}))
+    return [sh, sh, sh], [sh]
+
+
+def _nat_rule(shapes, frames, heads, interp, scale):
+    n = shapes[0][0] // frames
+    if n == 1:
+        return "f s c, f s c, f s c -> f s c", {}
+    if frames == 1:
+        return "n s c, n s c, n s c -> n s c", {}
+    return (
+        "(n f) s c, (n f) s c, (n f) s c -> (n f) s c",
+        {"f": frames, "n": n},
+    )
+
+
+_p_nat = make_partitioned(
+    "nat_temporal",
+    lambda qbf, kbf, vbf, frames, heads, interp, scale:
+        nat_temporal_attention_pallas(
+            qbf, kbf, vbf, frames=frames, heads=heads, scale=scale,
+            interpret=interp,
+        ),
+    rule=_nat_rule,
+    n_static=4,
+    need_replication=("f", "c"),
+    batch_dims=(0, 0, 0),
+    sanitize=_nat_sanitize,
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def nat_packed(qbf, kbf, vbf, frames, heads, interpret, scale=1.0):
     """Differentiable natural-layout temporal attention: Pallas forward,
     backward via the XLA core's VJP (recompute; only paid when training).
     ``scale`` multiplies q inside the kernel (softmax scale + log2e)."""
-    return nat_temporal_attention_pallas(
-        qbf, kbf, vbf, frames=frames, heads=heads, scale=scale,
-        interpret=interpret
-    )
+    return _p_nat(qbf, kbf, vbf, frames, heads, interpret, scale)
 
 
 def _nat_fwd(qbf, kbf, vbf, frames, heads, interpret, scale):
@@ -1959,14 +2179,24 @@ def _ctg_xla_core(seq, heads, scale, qp, kp, vp):
     return out.transpose(0, 2, 1, 3).reshape(n, t, c).astype(qp.dtype)
 
 
+_p_ctg = make_partitioned(
+    "ctg_packed",
+    lambda qp, kp, vp, seq, heads, interp, scale: ctg_seq_attention_pallas(
+        qp, kp, vp, seq=seq, heads=heads, scale=scale, interpret=interp
+    ),
+    rule="n t c, n t c, n t c -> n t c",
+    n_static=4,
+    need_replication=("t", "c"),
+    batch_dims=(0, 0, 0),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def ctg_packed(qp, kp, vp, seq, heads, interpret, scale=1.0):
     """Differentiable contiguous-pack temporal attention: Pallas forward,
     backward via the XLA core's VJP (recompute; only paid when training).
     ``scale`` multiplies q inside the kernel (softmax scale + log2e)."""
-    return ctg_seq_attention_pallas(
-        qp, kp, vp, seq=seq, heads=heads, scale=scale, interpret=interpret
-    )
+    return _p_ctg(qp, kp, vp, seq, heads, interpret, scale)
 
 
 def _ctg_fwd(qp, kp, vp, seq, heads, interpret, scale):
@@ -2006,13 +2236,23 @@ def _ssa_xla_core(seq, nv, qp, kp, vp):
     ).astype(qp.dtype)
 
 
+_p_ssa = make_partitioned(
+    "ssa_packed",
+    lambda qp, kp, vp, seq, nv, interp: small_seq_attention_pallas(
+        qp, kp, vp, seq=seq, n_valid_rows=nv, interpret=interp
+    ),
+    rule="n t d, n t d, n t d -> n t d",
+    n_static=3,
+    need_replication=("t", "d"),
+    batch_dims=(0, 0, 0),
+)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def ssa_packed(qp, kp, vp, seq, n_valid_rows, interpret):
     """Differentiable packed small-seq attention: Pallas forward, backward
     via the XLA core's VJP (recompute; only paid when training)."""
-    return small_seq_attention_pallas(
-        qp, kp, vp, seq=seq, n_valid_rows=n_valid_rows, interpret=interpret
-    )
+    return _p_ssa(qp, kp, vp, seq, n_valid_rows, interpret)
 
 
 def _ssa_fwd(qp, kp, vp, seq, n_valid_rows, interpret):

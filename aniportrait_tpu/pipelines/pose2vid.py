@@ -137,13 +137,31 @@ class Pose2VideoPipeline:
         self.window_fusion = bool(window_fusion)
         self.fusion_motion = fusion_motion
         self.context_rotate = bool(context_rotate)
+        self._mesh2 = None
         if mesh is not None:
+            from jax.sharding import Mesh
+
             from aniportrait_tpu.parallel.mesh import replicate
 
+            n_dev = mesh.devices.size
+            # ONE canonical mesh for every inference program of this
+            # pipeline: a 2-D CFG-pair x frame/window view of the same
+            # devices.  Shardy requires a single mesh per program (mixing
+            # the caller's 1-D 'data' mesh with a 2-D view raises at
+            # lowering once the partitioned Pallas kernels are present);
+            # the exact windowed path shards window rows over BOTH axes
+            # flattened — identical device assignment to the old P('data').
+            cfg_ways = 2 if n_dev % 2 == 0 else 1
+            self._mesh2 = Mesh(
+                mesh.devices.reshape(cfg_ways, n_dev // cfg_ways),
+                ("cfg", "frames"),
+            )
             for attr in ("vae_params", "clip_params", "reference_params",
                          "denoising_params", "pose_guider_variables"):
-                setattr(self.m, attr, replicate(getattr(self.m, attr), mesh))
-            n_dev = mesh.devices.size
+                setattr(
+                    self.m, attr,
+                    replicate(getattr(self.m, attr), self._mesh2),
+                )
             # CFG doubles the row axis; keep 2*window_batch divisible
             if (2 * self.window_batch) % n_dev:
                 self.window_batch = max(n_dev // 2, 1) * max(
@@ -294,18 +312,20 @@ class Pose2VideoPipeline:
         # lets window fusion (1.0-1.08x frame-slots) COMPOSE with the 8-chip
         # mesh instead of excluding it (the exact windowed path shards
         # window rows instead, 1.33x slots).
-        if self.mesh is not None and single:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        if self._mesh2 is not None and single:
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            n_dev = self.mesh.devices.size
-            cfg_ways = 2 if (do_cfg and n_dev % 2 == 0) else 1
-            mesh2 = Mesh(
-                self.mesh.devices.reshape(cfg_ways, n_dev // cfg_ways),
-                ("cfg", "frames"),
+            mesh2 = self._mesh2
+            cfg_ok = do_cfg and mesh2.shape["cfg"] == 2
+            _s_rows = NamedSharding(
+                mesh2,
+                P("cfg", "frames") if cfg_ok else P(None, ("cfg", "frames")),
             )
-            _s_rows = NamedSharding(mesh2, P("cfg", "frames"))
-            _s_lat = NamedSharding(mesh2, P(None, "frames"))
-            _s_cfg = NamedSharding(mesh2, P("cfg"))
+            _s_lat = NamedSharding(
+                mesh2,
+                P(None, "frames") if cfg_ok else P(None, ("cfg", "frames")),
+            )
+            _s_cfg = NamedSharding(mesh2, P("cfg") if cfg_ok else P())
 
             def shard_rows(x):
                 return jax.lax.with_sharding_constraint(x, _s_rows)
@@ -399,21 +419,24 @@ class Pose2VideoPipeline:
             windows_all_b = valid_all_b = None
 
         def _shard_win(x):
-            if self.mesh is not None:
+            # window rows over BOTH axes of the canonical 2-D mesh
+            # flattened — the same device assignment as the old 1-D
+            # P('data'), but on the single program-wide mesh
+            if self._mesh2 is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(self.mesh, P("data"))
+                    x, NamedSharding(self._mesh2, P(("cfg", "frames")))
                 )
             return x
 
         def _shard_win_all(x):
             """Shard a stacked (n_batches, rows, ...) window table on rows."""
-            if self.mesh is not None:
+            if self._mesh2 is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 return jax.lax.with_sharding_constraint(
-                    x, NamedSharding(self.mesh, P(None, "data"))
+                    x, NamedSharding(self._mesh2, P(None, ("cfg", "frames")))
                 )
             return x
 
@@ -687,6 +710,16 @@ class Pose2VideoPipeline:
 
         return jax.jit(sample_impl)
 
+    def _mesh_ctx(self):
+        """Context manager making the pipeline's canonical 2-D mesh the
+        ambient mesh during tracing/lowering — programs must not mix the
+        caller's 1-D mesh view with the internal cfg x frames view."""
+        import contextlib
+
+        return self._mesh2 if self._mesh2 is not None else (
+            contextlib.nullcontext()
+        )
+
     def _decode(self, latents, decode_chunk: int = 8):
         """latents (1, L, h, w, 4) -> video (L, H, W, 3) float32 in [0,1]."""
         m = self.m
@@ -716,6 +749,60 @@ class Pose2VideoPipeline:
             [self._decode_chunk_jit(m.vae_params, c) for c in chunks], axis=0
         )
         return out[:L]  # uint8 on device
+
+    def memory_report(self, width, height, video_length, num_inference_steps,
+                      guidance_scale: float = 3.5, windowed: bool = True):
+        """HBM accounting for one sampler bucket WITHOUT running it:
+        AOT-lower + compile the denoise sampler at the given shapes and
+        return XLA's compiled memory stats (argument/output/temp bytes).
+        ``peak ~= arguments + outputs + temps`` bounds the HBM the denoise
+        program needs; weights are inside ``arguments``.  (The axon
+        backend exposes no runtime memory_stats API — this is the
+        compile-time accounting the v5e-16GB fit claims rest on.)"""
+        m = self.m
+        sds = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        u8 = lambda shape: jax.ShapeDtypeStruct(shape, jnp.uint8)
+        clip_size = m.clip.image_size
+        params3 = jax.tree.map(
+            sds, (m.clip_params, m.vae_params, m.reference_params)
+        )
+        ctx_s, _, banks_s = jax.eval_shape(
+            self._encode_reference, params3,
+            u8((1, height, width, 3)), u8((1, clip_size, clip_size, 3)),
+        )
+        pose_s = jax.eval_shape(
+            self._pose_features, jax.tree.map(sds, m.pose_guider_variables),
+            u8((1, video_length, height, width, 3)),
+        )
+        hlat, wlat = height // 8, width // 8
+        sampler = self._build_sampler(
+            video_length, hlat, wlat, num_inference_steps, guidance_scale,
+            windowed,
+        )
+        lat_s = jax.ShapeDtypeStruct(
+            (1, video_length, hlat, wlat, 4), jnp.float32
+        )
+        den_s = jax.tree.map(sds, m.denoising_params)
+        compiled = sampler.lower(den_s, lat_s, ctx_s, banks_s, pose_s).compile()
+        ma = compiled.memory_analysis()
+        gib = 1 / (1 << 30)
+        return {
+            "config": {
+                "width": width, "height": height, "frames": video_length,
+                "steps": num_inference_steps, "cfg": guidance_scale,
+                "windowed": windowed, "fused": self.window_fusion,
+                "devices": 1 if self.mesh is None else int(self.mesh.devices.size),
+            },
+            "argument_gib": ma.argument_size_in_bytes * gib,
+            "output_gib": ma.output_size_in_bytes * gib,
+            "temp_gib": ma.temp_size_in_bytes * gib,
+            "alias_gib": ma.alias_size_in_bytes * gib,
+            "peak_bound_gib": (
+                ma.argument_size_in_bytes + ma.output_size_in_bytes
+                + ma.temp_size_in_bytes - ma.alias_size_in_bytes
+            ) * gib,
+            "code_mib": ma.generated_code_size_in_bytes / (1 << 20),
+        }
 
     # ---------------------------------------------------------------- call
     def __call__(
@@ -748,7 +835,7 @@ class Pose2VideoPipeline:
             )
 
         m = self.m
-        with self.timer.phase("encode_reference"):
+        with self.timer.phase("encode_reference"), self._mesh_ctx():
             ctx_cfg, _, banks = jax.block_until_ready(
                 self._encode_ref_jit(
                     (m.clip_params, m.vae_params, m.reference_params),
@@ -756,7 +843,7 @@ class Pose2VideoPipeline:
                     jnp.asarray(clip_img),
                 )
             )
-        with self.timer.phase("pose_features"):
+        with self.timer.phase("pose_features"), self._mesh_ctx():
             pose_fea = jax.block_until_ready(
                 self._pose_features_jit(m.pose_guider_variables, jnp.asarray(poses))
             )
@@ -777,7 +864,7 @@ class Pose2VideoPipeline:
             rng, (1, video_length, hlat, wlat, 4), jnp.float32
         ) * self.m.scheduler.init_noise_sigma
 
-        with self.timer.phase("denoise"):
+        with self.timer.phase("denoise"), self._mesh_ctx():
             latents = jax.block_until_ready(
                 sampler(m.denoising_params, latents, ctx_cfg, banks, pose_fea)
             )
@@ -786,7 +873,7 @@ class Pose2VideoPipeline:
 
             latents = interpolate_latents(latents, interpolation_factor, interp_method)
 
-        with self.timer.phase("vae_decode"):
+        with self.timer.phase("vae_decode"), self._mesh_ctx():
             video = jax.block_until_ready(self._decode(latents, decode_chunk))
         if return_device:
             return video  # (L, H, W, 3) uint8 ON DEVICE (caller fetches)

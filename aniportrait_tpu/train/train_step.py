@@ -81,11 +81,15 @@ def cast_frozen_to_bf16(params, stage: int):
     (train_stage_2.py weight_dtype) while DDP keeps trainables fp32.  At
     stage-2 full scale this is ~4 GB of HBM."""
     mask = _freeze_mask_stage1(params) if stage == 1 else _freeze_mask_stage2(params)
-    return jax.tree.map(
-        lambda p, lbl: p.astype(jnp.bfloat16) if lbl == "freeze" else p,
-        params,
-        mask,
-    )
+
+    def cast(p, lbl):
+        if lbl != "freeze":
+            return p
+        if isinstance(p, jax.ShapeDtypeStruct):  # shape-only accounting
+            return jax.ShapeDtypeStruct(p.shape, jnp.bfloat16)
+        return p.astype(jnp.bfloat16)
+
+    return jax.tree.map(cast, params, mask)
 
 
 def make_optimizer(

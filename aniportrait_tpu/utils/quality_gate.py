@@ -64,6 +64,7 @@ def _lookup(table: Dict[str, dict], needle: str) -> Optional[dict]:
 def enforce_approximation_gate(
     encoder_cache_interval: int = 1,
     window_fusion: bool = False,
+    context_rotate: bool = False,
     force: bool = False,
     table_dir: Optional[str] = None,
     _print=print,
@@ -74,7 +75,7 @@ def enforce_approximation_gate(
     """
     k = int(encoder_cache_interval)
     warnings: List[str] = []
-    if k <= 1 and not window_fusion:
+    if k <= 1 and not window_fusion and not context_rotate:
         return warnings
     table = load_gate_table(table_dir)
 
@@ -96,6 +97,20 @@ def enforce_approximation_gate(
                 "window fusion is an approximation and no measured gate "
                 "table was found under docs/ — run "
                 "scripts/quality_speed_gate.py before production use"
+            )
+    if context_rotate:
+        row = _lookup(table, "context rotate")
+        if row:
+            warn(
+                "context rotation departs from the reference's fixed "
+                f"step-0 window table: measured {row['psnr']:.1f} dB PSNR "
+                f"/ {row['ssim']:.4f} SSIM vs the step-0 exact path "
+                "(BASELINE.md quality table)"
+            )
+        else:
+            warn(
+                "context rotation is an unmeasured table-phase experiment "
+                "— run scripts/quality_speed_gate.py before production use"
             )
     if k == 2:
         row = _lookup(table, "encoder cache k=2")

@@ -41,6 +41,11 @@ def parse_args():
              "scripts/quality_speed_gate.py)",
     )
     parser.add_argument(
+        "--context_rotate", action="store_true",
+        help="rotate the context window table per denoise step (opt-in "
+             "quality experiment; NOT reference behavior — gated by the "
+             "measured table in docs/, utils/quality_gate.py)")
+    parser.add_argument(
         "--force_approx", action="store_true",
         help="run approximations past the measured quality gate "
              "(utils/quality_gate.py refuses encoder cache k>=3 "
@@ -131,6 +136,7 @@ def main():
     (a2m, a2m_params), (a2p, a2p_params) = load_audio_models(audio_cfg)
     pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
                          window_fusion=args.window_fusion,
+                         context_rotate=args.context_rotate,
                          force_approx=args.force_approx)
 
     width, height = args.W, args.H

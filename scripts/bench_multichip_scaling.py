@@ -75,21 +75,34 @@ def collective_report(hlo_text, steps):
     module (the MEASURED counterpart of the projection's 'scatter-add is
     KBs/step over ICI' assumption).  Collectives inside the denoise scan
     body execute once per step; the while body appears once in the text, so
-    per-clip bytes = body bytes x steps (upper bound for the few outside)."""
+    per-clip bytes = body bytes x steps (upper bound for the few outside).
+
+    Matches BOTH the synchronous forms (``all-reduce(``) and the async
+    pairs optimized TPU HLO emits (``all-reduce-start(`` /
+    ``collective-permute-start(``); the ``-done`` halves are skipped so
+    nothing double-counts.  Tuple results have EVERY element summed —
+    async starts alias (input, output[, context]) buffers, so the number
+    is an upper bound on wire bytes."""
     import re
 
     totals = {}
-    for m in re.finditer(
-        r"=\s+(?:\()?([a-z0-9]+)\[([0-9,]*)\][^=]*?"
-        r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)\(",
-        hlo_text,
-    ):
-        dt, dims, kind = m.group(1), m.group(2), m.group(3)
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        totals[kind] = totals.get(kind, 0) + n * _DTYPE_BYTES.get(dt, 4)
+    op = re.compile(
+        r"=\s*(.*?)\s"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(-start)?\("
+    )
+    shape = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    for line in hlo_text.splitlines():
+        m = op.search(line)
+        if not m:
+            continue
+        kind = m.group(2)
+        for dt, dims in shape.findall(m.group(1)):
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            totals[kind] = totals.get(kind, 0) + n * _DTYPE_BYTES.get(dt, 4)
     per_step = sum(totals.values())
     return totals, per_step, per_step * steps
 

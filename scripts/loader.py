@@ -56,6 +56,7 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
                   random_init: bool = False,
                   size: str = "full",
                   window_fusion: bool = False,
+                  context_rotate: bool = False,
                   force_approx: bool = False) -> Pose2VideoPipeline:
     """config: a prompt YAML (configs/prompts/animation*.yaml shape).
 
@@ -71,6 +72,7 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
     enforce_approximation_gate(
         encoder_cache_interval=encoder_cache_interval,
         window_fusion=window_fusion,
+        context_rotate=context_rotate,
         force=force_approx,
     )
     infer_cfg = load_config(str(config.inference_config))
@@ -103,7 +105,7 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
         modules = init_random_params(defs)
         return Pose2VideoPipeline(
             modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval,
-            window_fusion=window_fusion,
+            window_fusion=window_fusion, context_rotate=context_rotate,
         )
 
     vae_sd = load_torch_state_dict(_find_weights(str(config.pretrained_vae_path)))
@@ -145,7 +147,7 @@ def load_pipeline(config: Config, dtype=jnp.bfloat16,
     )
     return Pose2VideoPipeline(
         modules, dtype=dtype, encoder_cache_interval=encoder_cache_interval,
-        window_fusion=window_fusion,
+        window_fusion=window_fusion, context_rotate=context_rotate,
     )
 
 

@@ -38,6 +38,11 @@ def parse_args():
              "scripts/quality_speed_gate.py)",
     )
     parser.add_argument(
+        "--context_rotate", action="store_true",
+        help="rotate the context window table per denoise step (opt-in "
+             "quality experiment; NOT reference behavior — gated by the "
+             "measured table in docs/, utils/quality_gate.py)")
+    parser.add_argument(
         "--force_approx", action="store_true",
         help="run approximations past the measured quality gate "
              "(utils/quality_gate.py refuses encoder cache k>=3 "
@@ -68,6 +73,7 @@ def main():
     config = load_config(args.config)
     pipe = load_pipeline(config, encoder_cache_interval=args.encoder_cache,
                          window_fusion=args.window_fusion,
+                         context_rotate=args.context_rotate,
                          force_approx=args.force_approx)
 
     date_str = datetime.now().strftime("%Y%m%d")

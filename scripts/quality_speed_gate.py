@@ -141,6 +141,14 @@ def main(argv=None):
         out, fps = timed(_build(res, window_fusion=True), poses, args.win_frames)
         ps, ss = _metrics(out, exact)
         rows.append(("window fusion (auto: whole-clip)", fps, ps, ss))
+        # context rotation (opt-in, NOT reference behavior — the reference
+        # hardcodes step 0, pipeline_pose2vid_long.py:488,500): per-step
+        # van-der-Corput window phase vs the step-0 exact table
+        out, fps = timed(
+            _build(res, context_rotate=True), poses, args.win_frames
+        )
+        ps, ss = _metrics(out, exact)
+        rows.append(("context rotate (per-step tables)", fps, ps, ss))
 
     if args.long_frames:
         # the audio2vid-length clip: fused motion re-windows WIDE

@@ -120,3 +120,84 @@ def test_gradient_accumulation_multisteps():
         )
     )
     assert moved_2 > 0.0, "params must move once k grads are accumulated"
+
+
+def test_trainable_only_checkpoint_roundtrip(tmp_path):
+    """save_train_checkpoint excludes frozen subtrees; restore merges them
+    back from the template (r5: the 680 s full-state save was dominated by
+    frozen bf16 leaves reconstructible from conversion)."""
+    from aniportrait_tpu.train.checkpoint import (
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+    from aniportrait_tpu.train.train_step import _freeze_mask_stage2
+
+    defs, params, stats, frozen = _setup()
+    tx = make_optimizer(params, stage=2)
+    state = init_train_state(params, stats, tx)
+    # make trainable + frozen leaves distinguishable
+    mask = _freeze_mask_stage2(state.params)
+    marked = jax.tree.map(
+        lambda p, lbl: p + (1.0 if lbl == "train" else 2.0)
+        if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else p,
+        state.params, mask,
+    )
+    state = state._replace(params=marked, step=jnp.asarray(7, jnp.int32))
+
+    ckpt = str(tmp_path / "orbax")
+    save_train_checkpoint(ckpt, state, 7, stage=2, block=True)
+
+    # the on-disk checkpoint must NOT contain the frozen leaves' bytes
+    import os
+    total = 0
+    for root, _, files in os.walk(ckpt):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    full = sum(
+        np.asarray(x).nbytes for x in jax.tree.leaves(state)
+    )
+    frozen_bytes = sum(
+        np.asarray(p).nbytes
+        for p, lbl in zip(
+            jax.tree.leaves(state.params), jax.tree.leaves(mask)
+        )
+        if lbl != "train"
+    )
+    assert total < full - frozen_bytes * 0.5, (
+        f"checkpoint {total}B looks like a full-state save ({full}B, "
+        f"frozen {frozen_bytes}B)"
+    )
+
+    # template: fresh init (different trainables, same frozen content)
+    template = init_train_state(marked, stats, tx)
+    restored, step = restore_train_checkpoint(ckpt, template, stage=2)
+    assert step == 7 and int(restored.step) == 7
+    for a, b, lbl in zip(
+        jax.tree.leaves(restored.params),
+        jax.tree.leaves(state.params),
+        jax.tree.leaves(mask),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # stage mismatch is refused
+    with pytest.raises(ValueError, match="stage"):
+        restore_train_checkpoint(ckpt, template, stage=1)
+
+
+def test_trainable_only_checkpoint_async(tmp_path):
+    from aniportrait_tpu.train.checkpoint import (
+        finish_async_save,
+        restore_train_checkpoint,
+        save_train_checkpoint,
+    )
+
+    defs, params, stats, frozen = _setup()
+    tx = make_optimizer(params, stage=2)
+    state = init_train_state(params, stats, tx)
+    ckpt = str(tmp_path / "orbax")
+    mgr = save_train_checkpoint(ckpt, state, 3, stage=2, block=False)
+    finish_async_save(mgr)
+    restored, step = restore_train_checkpoint(ckpt, state, stage=2)
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

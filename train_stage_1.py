@@ -192,12 +192,19 @@ def main():
     save_dir_early = Path(cfg.output_dir) / cfg.exp_name
     start_step = 0
     if str(cfg.get("resume_from_checkpoint", "")) == "latest":
-        from aniportrait_tpu.train.checkpoint import latest_step, restore_checkpoint
+        from aniportrait_tpu.train.checkpoint import (
+            latest_step,
+            restore_train_checkpoint,
+        )
 
         ckpt_root = str(save_dir_early / "orbax")
         step_found = latest_step(ckpt_root)
         if step_found is not None:
-            state, start_step = restore_checkpoint(ckpt_root, state, step_found)
+            # trainable-only checkpoint: frozen subtrees come from the
+            # just-initialised state (the weight-conversion output)
+            state, start_step = restore_train_checkpoint(
+                ckpt_root, state, stage=1, step=step_found
+            )
             print(f"resumed from step {start_step}")
 
     state = replicate(state, mesh)
@@ -231,6 +238,7 @@ def main():
         local_bs //= jax.process_count()
         dataset.shard(jax.process_index(), jax.process_count())
     batches = prefetch(dataset.batches(local_bs), depth=2)
+    ckpt_mgr = None  # in-flight async checkpoint save, joined before the next
     with mesh:
         for step, batch in enumerate(batches):
             if step >= max_steps:
@@ -240,9 +248,19 @@ def main():
             if step % 10 == 0:
                 print(tracker.log(step, {"loss": float(metrics["loss"])}))
             if (step + 1) % int(cfg.checkpointing_steps) == 0:
-                from aniportrait_tpu.train.checkpoint import save_checkpoint
+                from aniportrait_tpu.train.checkpoint import (
+                    finish_async_save,
+                    save_train_checkpoint,
+                )
 
-                save_checkpoint(str(save_dir / "orbax"), state, step + 1, keep=1)
+                # trainable-only + async: the loop keeps training while the
+                # previous snapshot serializes (frozen bf16 subtrees are
+                # reconstructible from conversion and are not written)
+                finish_async_save(ckpt_mgr)
+                ckpt_mgr = save_train_checkpoint(
+                    str(save_dir / "orbax"), state, step + 1, stage=1,
+                    keep=1, block=False,
+                )
             val_steps = int(cfg.val.validation_steps) if cfg.get("val") else 0
             if val_steps and (step + 1) % val_steps == 0:
                 try:
