@@ -124,9 +124,24 @@ def bench_pose2vid(size="full", steps=25, frames=16, res=512, window_batch=1,
     full = pipe(ref, poses, None, **kw)  # host->device->host end-to-end
     assert full.shape[0] == frames
     e2e = time.perf_counter() - t0
+    # pipelined e2e: 3 cases through run_cases (case i+1 uploads + case
+    # i-1 downloads overlap case i's denoise) — the steady-state e2e of a
+    # multi-case CLI run / the serving loop
+    cases = [
+        dict(ref_image=ref, pose_images=poses, key=i) for i in range(3)
+    ]
+    t0 = time.perf_counter()
+    n_out = 0
+    for _, v in pipe.run_cases(
+        cases, res, res, video_length=frames, num_inference_steps=steps,
+        guidance_scale=3.5, seed=0, windowed=True, decode_chunk=8,
+    ):
+        n_out += v.shape[0]
+    e2e_pipe = n_out / (time.perf_counter() - t0)
     print(
         f"phase breakdown: {pipe.timer.report()}\n"
-        f"e2e incl. host transfers: {e2e:.2f} s ({frames / e2e:.3f} f/s)",
+        f"e2e incl. host transfers: {e2e:.2f} s ({frames / e2e:.3f} f/s); "
+        f"pipelined e2e over 3 cases: {e2e_pipe:.3f} f/s",
         file=sys.stderr,
     )
 
@@ -362,6 +377,18 @@ def main():
                                   + ("_fused" if wf else "")
                                   + (f"_wb{wb}" if wb != 1 else ""),
                                   window_fusion=wf, window_batch=wb)
+        if cfg == "long":
+            # single-chip long-clip measurement (VERDICT r4 item 2): the
+            # projections' fused_eff / slots-per-frame accounting at L far
+            # beyond the 48-frame point, measured instead of assumed
+            wf = "--window-fusion" in argv
+            n = (int(argv[argv.index("--frames") + 1])
+                 if "--frames" in argv else 120)
+            return bench_pose2vid(steps=25, frames=n, res=512,
+                                  window_batch=2,
+                                  metric=f"long_frames_per_sec_512px_{n}f"
+                                  + ("_fused" if wf else "_exact"),
+                                  window_fusion=wf)
         if cfg == "audio2vid":
             return bench_audio2vid(acc=False,
                                    window_fusion="--window-fusion" in argv)

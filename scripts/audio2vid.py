@@ -149,6 +149,10 @@ def main():
     vis = FaceMeshVisualizer(forehead_edge=False)
     frame_inter_model = init_for_cli(args.fi_weights) if args.accelerate else None
 
+    # host prep for every case first; the multi-case run then pipelines
+    # uploads/downloads against denoise (Pose2VideoPipeline.run_cases —
+    # the reference loop is fully synchronous, scripts/audio2vid.py:142-265)
+    cases, metas = [], []
     for ref_image_path in config["test_cases"].keys():
         for audio_path in config["test_cases"][ref_image_path]:
             ref_name = Path(ref_image_path).stem
@@ -205,44 +209,64 @@ def main():
             ]
             video_length = len(pose_list)
 
-            # under -acc with a device-capable interpolator the clip stays
-            # on device between diffusion and FiLM (uint8 host round trips
-            # of the clip otherwise dominate on remote-attached chips)
-            on_device = args.accelerate and getattr(
-                frame_inter_model, "device_io", False
-            )
+            cases.append(dict(
+                ref_image=ref_rgb, pose_images=pose_list,
+                ref_pose_image=ref_pose, key=len(cases),
+                kw=dict(video_length=video_length),
+            ))
+            metas.append(dict(
+                ref_name=ref_name, audio_name=audio_name, ref_rgb=ref_rgb,
+                pose_images=pose_images, audio_path=audio_path,
+            ))
+
+    def write_one(meta, video):
+        ref_row = np.repeat(
+            (cv2.resize(meta["ref_rgb"], (width, height)).astype(np.float32)
+             / 255)[None],
+            video.shape[0], axis=0,
+        )
+        pose_row = np.stack(
+            [p.astype(np.float32) / 255
+             for p in meta["pose_images"][: video.shape[0]]]
+        )
+        grid = np.stack([ref_row, pose_row[: video.shape[0]], video])
+
+        noaudio_path = (
+            f"{save_dir}/{meta['ref_name']}_{meta['audio_name']}"
+            f"_{args.H}x{args.W}_{int(args.cfg)}_{time_str}_noaudio.mp4"
+        )
+        save_videos_grid(grid, noaudio_path, fps=args.fps)
+        final = noaudio_path.replace("_noaudio.mp4", ".mp4")
+        if mux_audio(noaudio_path, meta["audio_path"], final):
+            import os
+
+            os.remove(noaudio_path)
+            print(f"saved {final}")
+        else:
+            print(f"saved {noaudio_path} (no ffmpeg for audio mux)")
+
+    if args.accelerate:
+        # under -acc with a device-capable interpolator the clip stays on
+        # device between diffusion and FiLM (uint8 host round trips of the
+        # clip otherwise dominate on remote-attached chips) — serial path
+        on_device = getattr(frame_inter_model, "device_io", False)
+        for case, meta in zip(cases, metas):
             video = pipe(
-                ref_rgb, pose_list, ref_pose, width, height, video_length,
-                args.steps, args.cfg, seed=args.seed, return_device=on_device,
+                case["ref_image"], case["pose_images"],
+                case["ref_pose_image"], width, height,
+                case["kw"]["video_length"], args.steps, args.cfg,
+                seed=args.seed, return_device=on_device,
             )
-
-            if args.accelerate:
-                video = batch_images_interpolation_tool(
-                    video, frame_inter_model, inter_frames=args.fi_step - 1
-                )[0]
-
-            ref_row = np.repeat(
-                (cv2.resize(ref_rgb, (width, height)).astype(np.float32) / 255)[None],
-                video.shape[0], axis=0,
-            )
-            pose_row = np.stack(
-                [p.astype(np.float32) / 255 for p in pose_images[: video.shape[0]]]
-            )
-            grid = np.stack([ref_row, pose_row[: video.shape[0]], video])
-
-            noaudio_path = (
-                f"{save_dir}/{ref_name}_{audio_name}_{args.H}x{args.W}"
-                f"_{int(args.cfg)}_{time_str}_noaudio.mp4"
-            )
-            save_videos_grid(grid, noaudio_path, fps=args.fps)
-            final = noaudio_path.replace("_noaudio.mp4", ".mp4")
-            if mux_audio(noaudio_path, audio_path, final):
-                import os
-
-                os.remove(noaudio_path)
-                print(f"saved {final}")
-            else:
-                print(f"saved {noaudio_path} (no ffmpeg for audio mux)")
+            video = batch_images_interpolation_tool(
+                video, frame_inter_model, inter_frames=args.fi_step - 1
+            )[0]
+            write_one(meta, video)
+    else:
+        for key, video in pipe.run_cases(
+            cases, width, height, num_inference_steps=args.steps,
+            guidance_scale=args.cfg, seed=args.seed,
+        ):
+            write_one(metas[key], video)
 
 
 if __name__ == "__main__":

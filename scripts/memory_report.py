@@ -132,8 +132,20 @@ def train_buckets(configs):
         }
         # match the live PRNG impl's key shape (rbg = (4,) uint32)
         rng_s = jax.ShapeDtypeStruct(jax.random.PRNGKey(0).shape, jnp.uint32)
-        compiled = step_fn.lower(state, frozen, batch_s, rng_s).compile()
-        ma = compiled.memory_analysis()
+        try:
+            compiled = step_fn.lower(state, frozen, batch_s, rng_s).compile()
+            ma = compiled.memory_analysis()
+        except Exception as e:  # a compile OOM IS a result
+            msg = str(e)
+            oom = "RESOURCE_EXHAUSTED" in msg or "memory" in msg.lower()
+            rep = {"name": cfg["name"], "config": cfg,
+                   "error": msg.splitlines()[0][:300],
+                   "fits": False if oom else None}
+            rows.append(rep)
+            print(f"{cfg['name']:>28}: COMPILE FAILED "
+                  f"({'OOM' if oom else 'error'}): {rep['error'][:120]}",
+                  flush=True)
+            continue
         rep = {
             "name": cfg["name"],
             "config": cfg,
@@ -147,6 +159,7 @@ def train_buckets(configs):
                 + ma.temp_size_in_bytes - ma.alias_size_in_bytes
             ) / GIB,
         }
+        rep["fits"] = rep["peak_bound_gib"] < 16.0
         rows.append(rep)
         print(
             f"{cfg['name']:>28}: args {rep['argument_gib']:.2f} GiB, "
@@ -186,13 +199,21 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="docs/memory_r5.json")
     p.add_argument("--only", default="", help="substring filter on bucket names")
+    p.add_argument("--exclude", default="",
+                   help="comma-separated substrings of bucket names to skip "
+                        "(e.g. known-OOM buckets whose compile attempt costs "
+                        "20 min through the remote service)")
     p.add_argument("--skip-train", action="store_true")
     p.add_argument("--skip-infer", action="store_true")
     args = p.parse_args()
     _setup()
     import jax
 
-    sel = lambda bs: [b for b in bs if args.only in b["name"]]
+    excl = [e for e in args.exclude.split(",") if e]
+    sel = lambda bs: [
+        b for b in bs
+        if args.only in b["name"] and not any(e in b["name"] for e in excl)
+    ]
     out = {"backend": jax.default_backend(),
            "device": str(jax.devices()[0]),
            "note": ("compile-time HBM accounting: peak_bound = arguments + "

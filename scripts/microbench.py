@@ -381,20 +381,43 @@ def bench_stage2_step(frames=16, res=512, batch=1, device_init=True):
 
 
 def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
-                     out_json="docs/stage2_run_r4.json",
+                     out_json="docs/stage2_run_r5.json",
                      ckpt_dir="output/stage2_run_ckpt",
                      val_dir="output/stage2_run_val"):
-    """Stage-2 training RUN, not step (VERDICT r3 item 6): ``steps``
-    full-size steps on synthetic data with the loss curve recorded, one
-    Orbax save->restore round trip at full size (restored state bit-equal,
-    step counter advanced), one validation grid via train/validation.py,
-    s/step variance and HBM watermark.
+    return bench_train_run(
+        stage=2, steps=steps, frames=frames, res=res, batch=batch, size=size,
+        out_json=out_json, ckpt_dir=ckpt_dir, val_dir=val_dir,
+    )
+
+
+def bench_stage1_run(steps=60, res=512, batch=2, size="full",
+                     out_json="docs/stage1_run_r5.json",
+                     ckpt_dir="output/stage1_run_ckpt",
+                     val_dir="output/stage1_run_val"):
+    """Stage-1 full-size RUN (VERDICT r4 item 4): the reference's 300k-step
+    workhorse config — batch 2, single frames, 512^2, ReferenceNet +
+    denoising UNet + PoseGuider trainable (train_stage_1.py:489-658)."""
+    return bench_train_run(
+        stage=1, steps=steps, frames=1, res=res, batch=batch, size=size,
+        out_json=out_json, ckpt_dir=ckpt_dir, val_dir=val_dir,
+    )
+
+
+def bench_train_run(stage, steps=60, frames=16, res=512, batch=1,
+                    size="full", out_json="docs/train_run.json",
+                    ckpt_dir="output/train_run_ckpt",
+                    val_dir="output/train_run_val"):
+    """Full-size training RUN, not step (VERDICT r3 item 6 / r4 item 4):
+    ``steps`` steps on synthetic data with the loss curve recorded, Orbax
+    save->restore round trips at full size (full-state AND trainable-only,
+    both bit-equal), one validation grid via train/validation.py, s/step
+    variance and the compile-time HBM bound (scripts/memory_report.py).
 
     Parameters are materialised ON DEVICE with the same statistical pattern
     as factory._fill_abstract (norm scales 1, biases 0, else N(0, 0.02)) so
-    the loss has a real signal path into the trainable motion modules —
-    all-zero weights would zero the motion-module gradients (proj_out is
-    zero-init by design) and flatline the curve."""
+    the loss has a real signal path into the trainable modules — all-zero
+    weights would zero the motion-module gradients (proj_out is zero-init
+    by design) and flatline the curve."""
     import json
     import os
 
@@ -410,7 +433,7 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     )
 
     defs = build_model_defs(
-        size=size, use_motion_module=True, dtype=jnp.bfloat16,
+        size=size, use_motion_module=(stage == 2), dtype=jnp.bfloat16,
         gradient_checkpointing=True,
     )
     modules = init_abstract_params(defs)
@@ -419,9 +442,9 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
         "denoising": modules.denoising_params,
         "pose_guider": modules.pose_guider_variables["params"],
     }
-    params = cast_frozen_to_bf16(params, stage=2)
-    tx = make_optimizer(params, stage=2)
-    step_fn = make_train_step(defs, tx, defs["scheduler"], stage=2)
+    params = cast_frozen_to_bf16(params, stage=stage)
+    tx = make_optimizer(params, stage=stage)
+    step_fn = make_train_step(defs, tx, defs["scheduler"], stage=stage)
     opt_state = jax.tree.map(
         lambda sh: np.zeros(sh.shape, sh.dtype), jax.eval_shape(tx.init, params)
     )
@@ -501,23 +524,64 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     except Exception:
         pass
 
-    # Orbax save -> restore round trip at full size
-    from aniportrait_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+    # Orbax round trip at full size — the TRAINABLE-ONLY path (r5): frozen
+    # bf16 subtrees are reconstructible from weight conversion, so the
+    # production checkpoint excludes them (train/checkpoint.py).  The r4
+    # full-state save measured 680 s for ~10 GB, dominated by the
+    # device->host fetch of those frozen leaves through the tunnel.
+    from aniportrait_tpu.train.checkpoint import (
+        _split_trainable,
+        restore_checkpoint,
+        restore_train_checkpoint,
+        save_checkpoint,
+        save_train_checkpoint,
+    )
 
     step_now = int(state.step)
+    saved_sub, _ = _split_trainable(state, stage)
+    bytes_train = sum(
+        np.prod(x.shape) * x.dtype.itemsize for x in jax.tree.leaves(saved_sub)
+    )
+    bytes_full = sum(
+        np.prod(x.shape) * x.dtype.itemsize for x in jax.tree.leaves(state)
+    )
     t0 = time.perf_counter()
-    save_checkpoint(ckpt_dir, state, step_now)
+    save_train_checkpoint(ckpt_dir, state, step_now, stage=stage)
     t_save = time.perf_counter() - t0
     template = jax.tree.map(lambda x: np.zeros(x.shape, x.dtype), state)
     t0 = time.perf_counter()
-    restored, got_step = restore_checkpoint(ckpt_dir, template)
+    restored, got_step = restore_train_checkpoint(
+        ckpt_dir, template, stage=stage
+    )
     t_restore = time.perf_counter() - t0
     assert got_step == step_now and int(restored.step) == step_now
     host_state = jax.device_get(state)
-    for a, b in zip(jax.tree.leaves(host_state), jax.tree.leaves(restored)):
+    # frozen leaves in the zero template stay zero after restore — compare
+    # ONLY what the checkpoint owns (trainables/opt/stats/step); frozen
+    # round-trip equality is the template's job (tests cover the merge)
+    saved_host, _ = _split_trainable(host_state, stage)
+    saved_rest, _ = _split_trainable(restored, stage)
+    for a, b in zip(jax.tree.leaves(saved_host), jax.tree.leaves(saved_rest)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    print(f"orbax round trip OK at step {step_now}: save {t_save:.0f}s, "
-          f"restore {t_restore:.0f}s, restored state bit-equal", flush=True)
+    print(
+        f"orbax trainable-only round trip OK at step {step_now}: save "
+        f"{t_save:.0f}s / restore {t_restore:.0f}s for "
+        f"{bytes_train/2**30:.2f} GiB of trainable state (full state "
+        f"{bytes_full/2**30:.2f} GiB; r4 full-save baseline 680 s)",
+        flush=True,
+    )
+    t_save_full = t_restore_full = None
+    if os.environ.get("MEASURE_FULL_SAVE") == "1":
+        t0 = time.perf_counter()
+        save_checkpoint(ckpt_dir + "_full", state, step_now)
+        t_save_full = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        restored_f, _ = restore_checkpoint(ckpt_dir + "_full", template)
+        t_restore_full = time.perf_counter() - t0
+        for a, b in zip(jax.tree.leaves(host_state), jax.tree.leaves(restored_f)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        print(f"orbax FULL round trip: save {t_save_full:.0f}s / restore "
+              f"{t_restore_full:.0f}s", flush=True)
 
     # one validation grid through the real pipeline
     from aniportrait_tpu.train.validation import log_validation
@@ -540,8 +604,8 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     t0 = time.perf_counter()
     log_validation(
         defs, frozen[0], frozen[1], state, _SynthDataset(), val_dir,
-        step=step_now, n_samples=1, image_mode=False, width=res, height=res,
-        num_inference_steps=5,
+        step=step_now, n_samples=1, image_mode=(stage == 1), width=res,
+        height=res, num_inference_steps=5,
     )
     t_val = time.perf_counter() - t0
     grids = os.listdir(val_dir)
@@ -549,15 +613,23 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     print(f"validation grid written ({grids[0]}) in {t_val:.0f}s", flush=True)
 
     report = {
+        "stage": stage,
         "steps": steps,
         "frames": frames,
         "res": res,
+        "batch": batch,
         "losses": losses,
         "s_per_step_median": float(np.median(times)),
         "s_per_step_std_excl_first": float(np.std(times[1:])),
         "hbm_peak_gib": hbm,
+        "hbm_note": ("runtime memory_stats unavailable on this backend; "
+                     "compile-time bound in docs/memory_r5.json"),
+        "ckpt_trainable_gib": float(bytes_train / 2**30),
+        "ckpt_full_gib": float(bytes_full / 2**30),
         "orbax_save_s": t_save,
         "orbax_restore_s": t_restore,
+        "orbax_full_save_s": t_save_full,
+        "orbax_full_restore_s": t_restore_full,
         "restored_bit_equal": True,
         "validation_grid": sorted(grids),
     }
@@ -565,8 +637,8 @@ def bench_stage2_run(steps=60, frames=16, res=512, batch=1, size="full",
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
     print(
-        f"stage-2 RUN: {steps} steps, loss {losses[0]:.4f} -> {losses[-1]:.4f}, "
-        f"{report['s_per_step_median']:.2f} s/step "
+        f"stage-{stage} RUN: {steps} steps, loss {losses[0]:.4f} -> "
+        f"{losses[-1]:.4f}, {report['s_per_step_median']:.2f} s/step "
         f"(std {report['s_per_step_std_excl_first']:.3f} excl. step 0)"
         + (f", HBM peak {hbm:.2f} GiB" if hbm else "")
     )
@@ -635,6 +707,9 @@ def main():
     if which == "stage2_run":
         steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
         return bench_stage2_run(steps=steps)
+    if which == "stage1_run":
+        steps = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+        return bench_stage1_run(steps=steps)
     if which in ("tunnel", "all"):
         bench_tunnel()
     if which in ("unet", "all"):

@@ -87,6 +87,11 @@ def main():
         init_for_cli(args.fi_weights) if args.accelerate else None
     )
 
+    # host-side prep for every test case up front, so the multi-case run
+    # can pipeline: case i+1's upload and case i-1's download overlap case
+    # i's denoise (Pose2VideoPipeline.run_cases; the reference's loop is
+    # fully synchronous, scripts/pose2vid.py:136-207)
+    cases, metas = [], []
     for ref_image_path in config["test_cases"].keys():
         for pose_video_path in config["test_cases"][ref_image_path]:
             ref_name = Path(ref_image_path).stem
@@ -108,52 +113,68 @@ def main():
             pose_list = [
                 cv2.resize(f, (args.W, args.H)) for f in pose_frames[:L:sub_step]
             ]
-            video_length = len(pose_list)
+            cases.append(dict(
+                ref_image=ref_rgb, pose_images=pose_list,
+                ref_pose_image=ref_pose, key=len(cases),
+                kw=dict(video_length=len(pose_list)),
+            ))
+            metas.append(dict(
+                ref_name=ref_name, pose_name=pose_name, ref_rgb=ref_rgb,
+                pose_list=pose_list, src_fps=src_fps,
+                pose_frames=pose_frames if args.accelerate else None,
+            ))
 
-            on_device = args.accelerate and getattr(
-                frame_inter_model, "device_io", False
+    def write_one(meta, video):
+        ref_row = np.repeat(
+            (cv2.resize(meta["ref_rgb"], (args.W, args.H)).astype(np.float32)
+             / 255)[None],
+            video.shape[0],
+            axis=0,
+        )
+        pose_row = (
+            np.stack(
+                [
+                    cv2.resize(f, (args.W, args.H)).astype(np.float32) / 255
+                    for f in meta["pose_frames"][: video.shape[0]]
+                ]
             )
+            if args.accelerate
+            else np.stack(
+                [p.astype(np.float32) / 255 for p in meta["pose_list"]]
+            )
+        )[: video.shape[0]]
+        grid = np.stack([ref_row, pose_row, video])
+
+        save_path = (
+            f"{save_dir}/{meta['ref_name']}_{meta['pose_name']}"
+            f"_{args.H}x{args.W}_{int(args.cfg)}_{time_str}.mp4"
+        )
+        save_videos_grid(
+            grid, save_path,
+            fps=meta["src_fps"] if args.L is None else args.fps,
+        )
+        print(f"saved {save_path}")
+
+    if args.accelerate:
+        # FiLM consumes the device output directly; keep this path serial
+        on_device = getattr(frame_inter_model, "device_io", False)
+        for case, meta in zip(cases, metas):
             video = pipe(
-                ref_rgb,
-                pose_list,
-                ref_pose,
-                args.W,
-                args.H,
-                video_length,
-                args.steps,
-                args.cfg,
-                seed=args.seed,
-                return_device=on_device,
-            )  # (L, H, W, 3) in [0,1] (device uint8 when on_device)
-
-            if args.accelerate:
-                video = batch_images_interpolation_tool(
-                    video, frame_inter_model, inter_frames=args.fi_step - 1
-                )[0]
-
-            ref_row = np.repeat(
-                (cv2.resize(ref_rgb, (args.W, args.H)).astype(np.float32) / 255)[None],
-                video.shape[0],
-                axis=0,
+                case["ref_image"], case["pose_images"],
+                case["ref_pose_image"], args.W, args.H,
+                case["kw"]["video_length"], args.steps, args.cfg,
+                seed=args.seed, return_device=on_device,
             )
-            pose_row = (
-                np.stack(
-                    [
-                        cv2.resize(f, (args.W, args.H)).astype(np.float32) / 255
-                        for f in pose_frames[: video.shape[0]]
-                    ]
-                )
-                if args.accelerate
-                else np.stack([p.astype(np.float32) / 255 for p in pose_list])
-            )[: video.shape[0]]
-            grid = np.stack([ref_row, pose_row, video])
-
-            save_path = (
-                f"{save_dir}/{ref_name}_{pose_name}_{args.H}x{args.W}"
-                f"_{int(args.cfg)}_{time_str}.mp4"
-            )
-            save_videos_grid(grid, save_path, fps=src_fps if args.L is None else args.fps)
-            print(f"saved {save_path}")
+            video = batch_images_interpolation_tool(
+                video, frame_inter_model, inter_frames=args.fi_step - 1
+            )[0]
+            write_one(meta, video)
+    else:
+        for key, video in pipe.run_cases(
+            cases, args.W, args.H, num_inference_steps=args.steps,
+            guidance_scale=args.cfg, seed=args.seed,
+        ):
+            write_one(metas[key], video)
 
 
 if __name__ == "__main__":

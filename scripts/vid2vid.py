@@ -132,7 +132,11 @@ def main():
     vis = FaceMeshVisualizer(forehead_edge=False)
     frame_inter_model = init_frame_interpolation_model() if args.accelerate else None
 
+    # host prep for every case first; the multi-case run then pipelines
+    # uploads/downloads against denoise (Pose2VideoPipeline.run_cases —
+    # the reference loop is fully synchronous, scripts/vid2vid.py:199-254)
     test_cases = config["test_cases"]
+    cases, metas = [], []
     for ref_image_path in test_cases.keys():
         for source_video_path in test_cases[ref_image_path]:
             ref_name = Path(ref_image_path).stem
@@ -179,44 +183,66 @@ def main():
                 )
                 for verts in projected
             ]
-            video_length = len(pose_list)
+            cases.append(dict(
+                ref_image=ref_rgb, pose_images=pose_list,
+                ref_pose_image=ref_pose, key=len(cases),
+                kw=dict(video_length=len(pose_list)),
+            ))
+            metas.append(dict(
+                ref_name=ref_name, pose_name=pose_name, ref_rgb=ref_rgb,
+                src_fps=src_fps, source_video_path=source_video_path,
+                src_frames=source_images[:args_L:step],
+            ))
 
-            on_device = args.accelerate and getattr(
-                frame_inter_model, "device_io", False
-            )
+    def write_one(meta, video):
+        ref_row = np.repeat(
+            (cv2.resize(meta["ref_rgb"], (width, height)).astype(np.float32)
+             / 255)[None],
+            video.shape[0], axis=0,
+        )
+        src_row = np.stack(
+            [
+                cv2.resize(f, (width, height)).astype(np.float32) / 255
+                for f in meta["src_frames"][: video.shape[0]]
+            ]
+        )
+        grid = np.stack([ref_row, video, src_row[: video.shape[0]]])
+
+        noaudio = (
+            f"{save_dir}/{meta['ref_name']}_{meta['pose_name']}"
+            f"_{args.H}x{args.W}_{int(args.cfg)}_{time_str}_noaudio.mp4"
+        )
+        save_videos_grid(
+            grid, noaudio,
+            fps=meta["src_fps"] if args.fps is None else args.fps,
+        )
+        final = noaudio.replace("_noaudio.mp4", ".mp4")
+        if mux_audio(noaudio, meta["source_video_path"], final):
+            os.remove(noaudio)
+            print(f"saved {final}")
+        else:
+            print(f"saved {noaudio} (no ffmpeg for audio mux)")
+
+    if args.accelerate:
+        # FiLM consumes the device output directly; keep this path serial
+        on_device = getattr(frame_inter_model, "device_io", False)
+        for case, meta in zip(cases, metas):
             video = pipe(
-                ref_rgb, pose_list, ref_pose, width, height, video_length,
-                args.steps, args.cfg, seed=args.seed, return_device=on_device,
+                case["ref_image"], case["pose_images"],
+                case["ref_pose_image"], width, height,
+                case["kw"]["video_length"], args.steps, args.cfg,
+                seed=args.seed, return_device=on_device,
             )
-
-            if args.accelerate:
-                video = batch_images_interpolation_tool(
-                    video, frame_inter_model, inter_frames=args.fi_step - 1
-                )[0]
-
-            ref_row = np.repeat(
-                (cv2.resize(ref_rgb, (width, height)).astype(np.float32) / 255)[None],
-                video.shape[0], axis=0,
-            )
-            src_row = np.stack(
-                [
-                    cv2.resize(f, (width, height)).astype(np.float32) / 255
-                    for f in source_images[:args_L:step][: video.shape[0]]
-                ]
-            )
-            grid = np.stack([ref_row, video, src_row[: video.shape[0]]])
-
-            noaudio = (
-                f"{save_dir}/{ref_name}_{pose_name}_{args.H}x{args.W}"
-                f"_{int(args.cfg)}_{time_str}_noaudio.mp4"
-            )
-            save_videos_grid(grid, noaudio, fps=src_fps if args.fps is None else args.fps)
-            final = noaudio.replace("_noaudio.mp4", ".mp4")
-            if mux_audio(noaudio, source_video_path, final):
-                os.remove(noaudio)
-                print(f"saved {final}")
-            else:
-                print(f"saved {noaudio} (no ffmpeg for audio mux)")
+            video = batch_images_interpolation_tool(
+                video, frame_inter_model, inter_frames=args.fi_step - 1
+            )[0]
+            write_one(meta, video)
+    else:
+        for key, video in pipe.run_cases(
+            cases, width, height, num_inference_steps=args.steps,
+            guidance_scale=args.cfg, seed=args.seed,
+        ):
+            write_one(metas[key], video)
 
 
 if __name__ == "__main__":

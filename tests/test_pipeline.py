@@ -242,3 +242,28 @@ def test_context_rotate_step0_matches_exact(pipeline):
     v2 = rot(ref, poses, None, **dict(kw, num_inference_steps=2))
     assert np.isfinite(v2).all()
     assert v2.min() >= 0.0 and v2.max() <= 1.0
+
+
+def test_run_cases_overlapped_matches_serial(pipeline):
+    """run_cases (IO-overlapped multi-case driver) yields exactly what
+    serial __call__ does, in order, including per-case kw overrides."""
+    rs = np.random.RandomState(3)
+    kw = dict(num_inference_steps=2, guidance_scale=3.5, seed=1,
+              decode_chunk=2)
+    cases = []
+    for i, n in enumerate((6, 4)):
+        cases.append(dict(
+            ref_image=rs.randint(0, 255, (70, 70, 3), np.uint8),
+            pose_images=[rs.randint(0, 255, (70, 70, 3), np.uint8)
+                         for _ in range(n)],
+            key=f"case{i}",
+            kw=dict(video_length=n),
+        ))
+    got = list(pipeline.run_cases(cases, 64, 64, **kw))
+    assert [k for k, _ in got] == ["case0", "case1"]
+    for (key, video), c in zip(got, cases):
+        serial = pipeline(
+            c["ref_image"], c["pose_images"], None, 64, 64,
+            video_length=c["kw"]["video_length"], **kw,
+        )
+        np.testing.assert_allclose(video, serial, atol=1e-6)
