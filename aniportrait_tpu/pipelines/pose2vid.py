@@ -798,15 +798,13 @@ class Pose2VideoPipeline:
         )
         return out[:L]  # uint8 on device
 
-    def memory_report(self, width, height, video_length, num_inference_steps,
-                      guidance_scale: float = 3.5, windowed: bool = True):
-        """HBM accounting for one sampler bucket WITHOUT running it:
-        AOT-lower + compile the denoise sampler at the given shapes and
-        return XLA's compiled memory stats (argument/output/temp bytes).
-        ``peak ~= arguments + outputs + temps`` bounds the HBM the denoise
-        program needs; weights are inside ``arguments``.  (The axon
-        backend exposes no runtime memory_stats API — this is the
-        compile-time accounting the v5e-16GB fit claims rest on.)"""
+    def abstract_sampler(self, width, height, video_length,
+                         num_inference_steps, guidance_scale: float = 3.5,
+                         windowed: bool = True):
+        """(jitted sampler, ShapeDtypeStruct args) for one bucket — the
+        shape-level view of the denoise program, usable for ``eval_shape``
+        (compile-free trace checks) or ``lower().compile()`` (the HBM
+        accounting in :meth:`memory_report`)."""
         m = self.m
         sds = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
         u8 = lambda shape: jax.ShapeDtypeStruct(shape, jnp.uint8)
@@ -831,7 +829,22 @@ class Pose2VideoPipeline:
             (1, video_length, hlat, wlat, 4), jnp.float32
         )
         den_s = jax.tree.map(sds, m.denoising_params)
-        compiled = sampler.lower(den_s, lat_s, ctx_s, banks_s, pose_s).compile()
+        return sampler, (den_s, lat_s, ctx_s, banks_s, pose_s)
+
+    def memory_report(self, width, height, video_length, num_inference_steps,
+                      guidance_scale: float = 3.5, windowed: bool = True):
+        """HBM accounting for one sampler bucket WITHOUT running it:
+        AOT-lower + compile the denoise sampler at the given shapes and
+        return XLA's compiled memory stats (argument/output/temp bytes).
+        ``peak ~= arguments + outputs + temps`` bounds the HBM the denoise
+        program needs; weights are inside ``arguments``.  (The axon
+        backend exposes no runtime memory_stats API — this is the
+        compile-time accounting the v5e-16GB fit claims rest on.)"""
+        sampler, args = self.abstract_sampler(
+            width, height, video_length, num_inference_steps,
+            guidance_scale, windowed,
+        )
+        compiled = sampler.lower(*args).compile()
         ma = compiled.memory_analysis()
         gib = 1 / (1 << 30)
         return {

@@ -98,19 +98,31 @@ def make_optimizer(
     learning_rate: float = 1e-5,
     weight_decay: float = 1e-2,
     max_grad_norm: float = 1.0,
+    adam_8bit: bool = False,
 ):
+    """``adam_8bit``: block-wise int8 moments (train/optim8bit.py) — the
+    reference's bitsandbytes 8-bit Adam (train_stage_1.py:366-376,
+    ``use_8bit_adam``).  Required to fit the stage-1 full trainable set
+    on one 16 GiB chip: f32 Adam moments alone are ~13 GB there
+    (docs/memory_r5.json stage-1 rows)."""
     mask = _freeze_mask_stage1(params) if stage == 1 else _freeze_mask_stage2(params)
+    if adam_8bit:
+        from aniportrait_tpu.train.optim8bit import adamw8bit
+
+        inner = adamw8bit(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay,
+        )
+    else:
+        inner = optax.adamw(
+            learning_rate, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay,
+        )
     tx = optax.multi_transform(
         {
             "train": optax.chain(
                 optax.clip_by_global_norm(max_grad_norm),
-                optax.adamw(
-                    learning_rate,
-                    b1=0.9,
-                    b2=0.999,
-                    eps=1e-8,
-                    weight_decay=weight_decay,
-                ),
+                inner,
             ),
             "freeze": optax.set_to_zero(),
         },

@@ -111,7 +111,9 @@ def train_buckets(configs):
             "pose_guider": modules.pose_guider_variables["params"],
         }
         params = cast_frozen_to_bf16(params, stage=stage)
-        tx = make_optimizer(params, stage=stage)
+        tx = make_optimizer(
+            params, stage=stage, adam_8bit=cfg.get("adam_8bit", False)
+        )
         step_fn = make_train_step(defs, tx, defs["scheduler"], stage=stage)
         opt_state = jax.eval_shape(tx.init, params)
         state = TrainState(
@@ -192,6 +194,10 @@ TRAIN_BUCKETS = [
     dict(name="stage2 b2 16f 512", stage=2, batch=2, frames=16, res=512),
     dict(name="stage1 b2 1f 512", stage=1, batch=2, frames=1, res=512),
     dict(name="stage1 b4 1f 512", stage=1, batch=4, frames=1, res=512),
+    dict(name="stage1 b2 1f 512 adam8bit", stage=1, batch=2, frames=1,
+         res=512, adam_8bit=True),
+    dict(name="stage1 b4 1f 512 adam8bit", stage=1, batch=4, frames=1,
+         res=512, adam_8bit=True),
 ]
 
 

@@ -406,7 +406,8 @@ def bench_stage1_run(steps=60, res=512, batch=2, size="full",
 def bench_train_run(stage, steps=60, frames=16, res=512, batch=1,
                     size="full", out_json="docs/train_run.json",
                     ckpt_dir="output/train_run_ckpt",
-                    val_dir="output/train_run_val"):
+                    val_dir="output/train_run_val",
+                    adam_8bit=None):
     """Full-size training RUN, not step (VERDICT r3 item 6 / r4 item 4):
     ``steps`` steps on synthetic data with the loss curve recorded, Orbax
     save->restore round trips at full size (full-state AND trainable-only,
@@ -443,7 +444,12 @@ def bench_train_run(stage, steps=60, frames=16, res=512, batch=1,
         "pose_guider": modules.pose_guider_variables["params"],
     }
     params = cast_frozen_to_bf16(params, stage=stage)
-    tx = make_optimizer(params, stage=stage)
+    # stage-1's full trainable set needs 8-bit Adam moments to fit one
+    # 16 GiB chip (the reference's own use_8bit_adam lever,
+    # train_stage_1.py:366-376; docs/memory_r5.json stage-1 rows)
+    if adam_8bit is None:
+        adam_8bit = stage == 1
+    tx = make_optimizer(params, stage=stage, adam_8bit=adam_8bit)
     step_fn = make_train_step(defs, tx, defs["scheduler"], stage=stage)
     opt_state = jax.tree.map(
         lambda sh: np.zeros(sh.shape, sh.dtype), jax.eval_shape(tx.init, params)
@@ -614,6 +620,7 @@ def bench_train_run(stage, steps=60, frames=16, res=512, batch=1,
 
     report = {
         "stage": stage,
+        "adam_8bit": bool(adam_8bit),
         "steps": steps,
         "frames": frames,
         "res": res,

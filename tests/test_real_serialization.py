@@ -128,3 +128,44 @@ def test_load_torch_state_dict_containers(zoo):
     )
     assert set(sd) == set(kg.vae_keys())
     assert isinstance(next(iter(sd.values())), np.ndarray)
+
+
+def test_load_pipeline_from_zoo_traces(zoo, tmp_path):
+    """Runbook step-3 replay (VERDICT r4 item 9): the generation-day load
+    path — ``scripts/loader.load_pipeline`` on the real on-disk zoo —
+    converts every family into a working ``Pose2VideoPipeline`` whose
+    FULL-SIZE sampler traces end to end (eval_shape; no compile: the
+    full-size XLA:CPU compile is hours on this host, and the chip-side
+    compile of the same program is proven by bench.py/memory_report)."""
+    import jax
+
+    cfg = tmp_path / "prompt.yaml"
+    cfg.write_text(
+        f"""
+pretrained_base_model_path: '{zoo / 'stable-diffusion-v1-5'}'
+pretrained_vae_path: '{zoo / 'sd-vae-ft-mse'}'
+image_encoder_path: '{zoo / 'image_encoder'}'
+denoising_unet_path: '{zoo / 'denoising_unet.pth'}'
+reference_unet_path: '{zoo / 'reference_unet.pth'}'
+pose_guider_path: '{zoo / 'pose_guider.pth'}'
+motion_module_path: '{zoo / 'motion_module.pth'}'
+inference_config: './configs/inference/inference_v2.yaml'
+weight_dtype: 'fp16'
+"""
+    )
+    from aniportrait_tpu.config import load_config
+    from scripts.loader import load_pipeline
+
+    pipe = load_pipeline(load_config(str(cfg)))
+    # every family converted into real arrays at full size
+    assert len(jax.tree.leaves(pipe.m.denoising_params)) > 300
+    assert len(jax.tree.leaves(pipe.m.reference_params)) > 300
+    total = sum(
+        x.size for x in jax.tree.leaves(pipe.m.denoising_params)
+    )
+    assert total > 8e8, f"denoising UNet looks truncated: {total} params"
+
+    # the driver-config sampler traces shape-correctly on these params
+    sampler, args = pipe.abstract_sampler(512, 512, 16, 2, 3.5, True)
+    out = jax.eval_shape(sampler, *args)
+    assert tuple(out.shape) == (1, 16, 64, 64, 4)

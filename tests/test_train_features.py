@@ -201,3 +201,92 @@ def test_trainable_only_checkpoint_async(tmp_path):
     assert step == 3
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adamw8bit_tracks_fp32():
+    """Block-quantized-moment AdamW follows the f32 optax.adamw trajectory
+    within a loose band and reaches a similar loss on a small convex-ish
+    problem (reference: bitsandbytes 8-bit Adam, train_stage_1.py:366)."""
+    from aniportrait_tpu.train.optim8bit import adamw8bit
+
+    rs = np.random.RandomState(0)
+    A = jnp.asarray(rs.randn(64, 32), jnp.float32)
+    b = jnp.asarray(rs.randn(64), jnp.float32)
+
+    def loss(w):
+        return jnp.mean((A @ w - b) ** 2)
+
+    def run(tx, steps=200):
+        w = jnp.zeros((32,), jnp.float32)
+        state = tx.init(w)
+        vals = []
+        for _ in range(steps):
+            g = jax.grad(loss)(w)
+            upd, state = tx.update(g, state, w)
+            w = optax.apply_updates(w, upd)
+            vals.append(float(loss(w)))
+        return w, vals
+
+    lr = 3e-2
+    w8, v8 = run(adamw8bit(lr, weight_decay=1e-3))
+    wf, vf = run(optax.adamw(lr, weight_decay=1e-3))
+    # endpoint losses comparable (within 10% relative or tiny absolute)
+    assert v8[-1] < max(1.1 * vf[-1], vf[-1] + 1e-3), (v8[-1], vf[-1])
+    # trajectories stay close early (quantization noise is small)
+    assert abs(v8[10] - vf[10]) < 0.15 * (abs(vf[0]) + 1e-6)
+
+
+def test_adamw8bit_state_is_int8():
+    from aniportrait_tpu.train.optim8bit import Adam8bitState, adamw8bit
+
+    tx = adamw8bit(1e-3)
+    params = {"a": jnp.zeros((300,)), "b": jnp.zeros((5, 7))}
+    state = tx.init(params)
+    assert isinstance(state, Adam8bitState)
+    leaves_q = [state.m["a"].q, state.m["b"].q, state.v["a"].q]
+    for q in leaves_q:
+        assert q.dtype == jnp.int8
+    # padded to block multiple
+    assert state.m["a"].q.shape == (512,)  # 300 -> 2 blocks of 256
+    assert state.m["b"].q.shape == (256,)
+
+    # one update keeps shapes/dtypes and moves params
+    g = jax.tree.map(jnp.ones_like, params)
+    upd, state2 = tx.update(g, state, params)
+    assert upd["a"].shape == (300,) and upd["b"].shape == (5, 7)
+    assert state2.m["a"].q.dtype == jnp.int8
+    assert float(jnp.max(jnp.abs(upd["a"]))) > 0
+
+
+def test_make_optimizer_8bit_stage1_state_small():
+    """8-bit Adam under the stage-1 freeze mask: persistent moment state
+    is ~2 bytes/param instead of 8."""
+    defs, params, stats, frozen = _setup()
+    tx = make_optimizer(params, stage=1, adam_8bit=True)
+    state = jax.eval_shape(tx.init, params)
+    total_param_bytes = sum(
+        np.prod(s.shape) * 4 for s in jax.tree.leaves(
+            jax.eval_shape(lambda: params)
+        )
+    )
+    state_bytes = sum(
+        np.prod(s.shape) * s.dtype.itemsize
+        for s in jax.tree.leaves(state)
+    )
+    # f32 adam would be ~2x param bytes (m+v); int8 is ~param/2 x2 + scales
+    assert state_bytes < 0.8 * total_param_bytes, (
+        state_bytes, total_param_bytes
+    )
+    # and it actually trains a step at micro scale
+    step = make_train_step(defs, tx, defs["scheduler"])
+    st = init_train_state(params, stats, tx)
+    new_state, metrics = step(st, frozen, _batch(), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    delta = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(
+            jax.tree.leaves(new_state.params["denoising"]),
+            jax.tree.leaves(st.params["denoising"]),
+        )
+    )
+    assert delta > 0.0
