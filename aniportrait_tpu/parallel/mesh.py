@@ -110,3 +110,37 @@ def shard_batch(tree, mesh: Mesh, axis: int = 0):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_opt_state(state, mesh: Mesh, axis_name: str = "data"):
+    """ZeRO-1-style optimizer-state sharding over the data axis — BEYOND
+    the reference, whose only distribution is DDP with fully replicated
+    optimizer state (SURVEY #33/#34: no ZeRO/FSDP anywhere).
+
+    Each optimizer-state leaf whose leading dim divides the mesh is
+    device_put sharded on that dim; the rest (scalars like ``count``, odd
+    shapes) replicate.  Under the jitted train step GSPMD keeps the
+    moments sharded across steps: the Adam update math is elementwise per
+    parameter, so each device updates only its 1/N shard and the only
+    collective added is the all-gather of the parameter UPDATE (the same
+    wire cost ZeRO-1 pays).  With the 8-bit moments
+    (``train/optim8bit.py``: flat int8 + per-block scales, both
+    dim-0-shardable) a v5e-8 holds ~0.4 GB of moments per chip for the
+    stage-1 trainable set instead of ~3.3 GB per chip replicated.
+
+    Returns ``state`` with ``opt_state`` sharded and everything else
+    replicated.
+    """
+    n = mesh.shape[axis_name]
+
+    def put(x):
+        shape = np.shape(x)
+        if len(shape) >= 1 and shape[0] % n == 0 and shape[0] > 0:
+            return jax.device_put(
+                x, NamedSharding(mesh, P(axis_name))
+            )
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    rest = replicate(state._replace(opt_state=None), mesh)
+    opt = jax.tree.map(put, state.opt_state)
+    return rest._replace(opt_state=opt)

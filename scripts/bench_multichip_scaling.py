@@ -228,7 +228,10 @@ def main():
         print(f"  {n} devices: step+checks {time.perf_counter() - t0:.1f}s")
 
     # --- the projection ---------------------------------------------------
-    slot_rate = 1.73  # measured single-chip f/s, single-window config (BASELINE.md)
+    # r5 measured rates (BASELINE.md): driver single-window 1.857 f/s; the
+    # slots-per-frame arithmetic is VALIDATED by the measured 48f exact run
+    # (1.393 f/s ~= 1.857 / 1.33 slots)
+    slot_rate = 1.857
     print(f"\nv5e-8 EXACT projection (slot rate {slot_rate} f/s per chip, window 16/4):")
     print("  L    windows  pack-eff  slots/frame  projected f/s  (vs 1.0 A100 model)")
     for L, n_win, pack, spf, fps in projection_table(slot_rate):
@@ -236,12 +239,13 @@ def main():
             f"  {L:<4} {n_win:<8} {1/pack:<9.2f} {spf:<12.2f} {fps:<14.2f} {fps:.1f}x"
         )
 
-    # fused_eff: measured single-chip fused f/s / slot rate at 48 frames
-    # (BASELINE.md quality/fusion tables) — motion re-window + overlap means
-    fused_eff = 1.488 / slot_rate
+    # fused_eff: measured single-chip fused f/s / slot rate — r5 measured
+    # at TWO lengths (48f: 1.632/1.857 = 0.879; 64f: 1.615/1.857 = 0.870),
+    # validating the flat-in-L assumption; use the lower
+    fused_eff = 1.615 / slot_rate
     print(
         f"\nv5e-8 FUSED projection (slot rate {slot_rate}, fused eff "
-        f"{fused_eff:.2f} from the measured 48f fused run):"
+        f"{fused_eff:.2f} from the measured 48f+64f fused runs):"
     )
     print("  L    pad-frames  pack-eff  projected f/s  (vs 1.0 A100 model)")
     for L, pad, pack, fps in projection_table_fused(slot_rate, fused_eff):

@@ -543,6 +543,13 @@ def bench_train_run(stage, steps=60, frames=16, res=512, batch=1,
         save_train_checkpoint,
     )
 
+    # fresh checkpoint dir: a stale higher-step checkpoint from a previous
+    # run makes Orbax silently skip the save (step < latest) and the
+    # round-trip assert below read the old state
+    import shutil
+
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
     step_now = int(state.step)
     saved_sub, _ = _split_trainable(state, stage)
     bytes_train = sum(

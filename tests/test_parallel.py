@@ -141,3 +141,79 @@ def test_init_distributed_noop_and_dataset_shard(monkeypatch, tmp_path):
     flat = [n for s in shards for n in s]
     assert sorted(flat) == sorted(ds.names)  # disjoint + complete
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+@pytest.mark.slow
+def test_zero1_opt_state_sharding_parity():
+    """ZeRO-1-style optimizer-state sharding (parallel/mesh.py
+    shard_opt_state): one micro stage-1 train step with moments sharded
+    over the data axis matches the fully-replicated step, and the
+    updated moments COME BACK sharded (GSPMD keeps the layout across
+    steps instead of gathering)."""
+    import jax.numpy as jnp
+
+    from aniportrait_tpu.factory import MICRO, build_model_defs, init_abstract_params
+    from aniportrait_tpu.parallel.mesh import shard_opt_state
+    from aniportrait_tpu.train.train_step import (
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    defs = build_model_defs(size="micro", use_motion_module=True)
+    modules = init_abstract_params(defs)
+    params = {
+        "reference": modules.reference_params,
+        "denoising": modules.denoising_params,
+        "pose_guider": modules.pose_guider_variables["params"],
+    }
+    stats = modules.pose_guider_variables["batch_stats"]
+    frozen = (modules.vae_params, modules.clip_params)
+    tx = make_optimizer(params, stage=1, adam_8bit=True)
+    step = make_train_step(defs, tx, defs["scheduler"], donate=False)
+    state = init_train_state(params, stats, tx)
+
+    rs = np.random.RandomState(0)
+    img = MICRO["clip"]["image_size"]
+    b, f, H = 8, 2, 32
+    batch = {
+        "pixel_values": rs.randn(b, f, H, H, 3).astype(np.float32),
+        "pixel_values_pose": rs.randn(b, f, H, H, 3).astype(np.float32),
+        "pixel_values_ref_img": rs.randn(b, H, H, 3).astype(np.float32),
+        "clip_ref_image": rs.randn(b, img, img, 3).astype(np.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+
+    new_ref, m_ref = step(state, frozen, batch, rng)  # single-device
+
+    mesh = make_mesh(8)
+    with mesh:
+        st = shard_opt_state(state, mesh)
+        fz = replicate(frozen, mesh)
+        bt = shard_batch(batch, mesh)
+        new_sh, m_sh = step(st, fz, bt, rng)
+    np.testing.assert_allclose(
+        float(m_sh["loss"]), float(m_ref["loss"]), rtol=2e-5
+    )
+    for a, b_ in zip(
+        jax.tree.leaves(new_sh.params["denoising"]),
+        jax.tree.leaves(new_ref.params["denoising"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-5, rtol=2e-4
+        )
+    # a big moment leaf stays sharded after the step
+    from jax.sharding import NamedSharding
+
+    big = [
+        x for x in jax.tree.leaves(new_sh.opt_state)
+        if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] % 8 == 0
+        and x.size >= 8
+    ]
+    assert big, "no shardable opt-state leaves found"
+    n_sharded = sum(
+        1 for x in big
+        if isinstance(x.sharding, NamedSharding)
+        and x.sharding.spec and x.sharding.spec[0] is not None
+    )
+    assert n_sharded > 0, "optimizer state was gathered to replicated"

@@ -207,7 +207,15 @@ def main():
             )
             print(f"resumed from step {start_step}")
 
-    state = replicate(state, mesh)
+    if mesh.devices.size > 1:
+        # ZeRO-1: Adam moments shard over the data axis (params stay
+        # replicated; the update all-gather is GSPMD-inserted) — beyond
+        # the reference's replicated-state DDP (SURVEY #33/#34)
+        from aniportrait_tpu.parallel.mesh import shard_opt_state
+
+        state = shard_opt_state(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     dataset = FaceDataset(
         json_path=str(cfg.data.json_path),

@@ -169,7 +169,15 @@ def main():
     mesh_size = max(d for d in range(1, n_dev + 1) if int(cfg.train_bs) % d == 0)
     mesh = make_mesh(mesh_size)
     state = init_train_state(params, batch_stats, tx)
-    state = replicate(state, mesh)
+    if mesh.devices.size > 1:
+        # ZeRO-1: Adam moments shard over the data axis (params stay
+        # replicated; the update all-gather is GSPMD-inserted) — beyond
+        # the reference's replicated-state DDP (SURVEY #33/#34)
+        from aniportrait_tpu.parallel.mesh import shard_opt_state
+
+        state = shard_opt_state(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     dataset = FaceDataset(
         json_path=str(cfg.data.json_path),
