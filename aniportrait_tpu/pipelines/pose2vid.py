@@ -768,8 +768,13 @@ class Pose2VideoPipeline:
             contextlib.nullcontext()
         )
 
-    def _decode(self, latents, decode_chunk: int = 8):
-        """latents (1, L, h, w, 4) -> video (L, H, W, 3) float32 in [0,1]."""
+    def _decode(self, latents, decode_chunk: int = 8, to_host: bool = False):
+        """latents (1, L, h, w, 4) -> video (L, H, W, 3) uint8; on device
+        by default, or streamed to HOST with ``to_host=True`` — each
+        chunk's device->host fetch rides an IO thread while the next chunk
+        decodes, hiding most of the download behind decode compute (the
+        reference fetches the whole clip after a sequential per-frame
+        decode loop, pipeline_pose2vid_long.py:113-126)."""
         m = self.m
         z = latents[0] / VAE_SCALE  # (L, h, w, 4)
         L = z.shape[0]
@@ -792,6 +797,20 @@ class Pose2VideoPipeline:
                 return jnp.round(img * 255.0).astype(jnp.uint8)
 
             self._decode_chunk_jit = jax.jit(dec)
+
+        if to_host:
+            import concurrent.futures as cf
+
+            ex = cf.ThreadPoolExecutor(max_workers=1)
+            try:
+                futs = [
+                    ex.submit(np.asarray, self._decode_chunk_jit(m.vae_params, c))
+                    for c in chunks
+                ]
+                out = np.concatenate([f.result() for f in futs], axis=0)
+            finally:
+                ex.shutdown(wait=False)
+            return out[:L]  # uint8 on HOST
 
         out = jnp.concatenate(
             [self._decode_chunk_jit(m.vae_params, c) for c in chunks], axis=0
@@ -888,12 +907,21 @@ class Pose2VideoPipeline:
         ``pose_images=None`` (skips host-side prep + upload; use when inputs
         are reused or pre-staged asynchronously).
         Returns video (L, H, W, 3) float32 in [0, 1]."""
+        poses_f = None
         if pose_images is None:
             ref, clip_img, poses = ref_image  # staged device arrays
         else:
             ref, clip_img, poses = self.stage_inputs(
                 ref_image, pose_images, width, height, device=False
             )
+            # the pose video is the big upload (L x H x W x 3 u8); start it
+            # on an IO thread so it rides the tunnel while the reference
+            # encodes (the reference uploads everything serially)
+            import concurrent.futures as cf
+
+            _ex = cf.ThreadPoolExecutor(max_workers=1)
+            poses_f = _ex.submit(jax.device_put, poses)
+            _ex.shutdown(wait=False)
 
         m = self.m
         with self.timer.phase("encode_reference"), self._mesh_ctx():
@@ -904,6 +932,8 @@ class Pose2VideoPipeline:
                     jnp.asarray(clip_img),
                 )
             )
+        if poses_f is not None:
+            poses = poses_f.result()
         with self.timer.phase("pose_features"), self._mesh_ctx():
             pose_fea = jax.block_until_ready(
                 self._pose_features_jit(m.pose_guider_variables, jnp.asarray(poses))
@@ -935,10 +965,13 @@ class Pose2VideoPipeline:
             latents = interpolate_latents(latents, interpolation_factor, interp_method)
 
         with self.timer.phase("vae_decode"), self._mesh_ctx():
-            video = jax.block_until_ready(self._decode(latents, decode_chunk))
-        if return_device:
-            return video  # (L, H, W, 3) uint8 ON DEVICE (caller fetches)
-        return np.asarray(video).astype(np.float32) / 255.0
+            video = self._decode(
+                latents, decode_chunk, to_host=not return_device
+            )
+            if return_device:
+                video = jax.block_until_ready(video)
+                return video  # (L, H, W, 3) uint8 ON DEVICE (caller fetches)
+        return video.astype(np.float32) / 255.0
 
 
 class Pose2ImagePipeline(Pose2VideoPipeline):
