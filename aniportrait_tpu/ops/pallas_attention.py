@@ -2091,8 +2091,8 @@ def _nat_sanitize(mesh, arg_shapes, result_shapes, statics):
     frames = statics[0]
     q = arg_shapes[0]
     bf, s, _ = q.shape
-    ax0 = axes_of(q.sharding, 0)
-    ax1 = axes_of(q.sharding, 1)
+    ax0 = axes_of(q.sharding, 0, mesh, 3)
+    ax1 = axes_of(q.sharding, 1, mesh, 3)
     b = bf // frames
     if ax0 and (b == 0 or b % prod_axes(mesh, ax0) != 0):
         ax0 = ()

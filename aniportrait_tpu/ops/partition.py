@@ -60,12 +60,36 @@ def partition_enabled() -> bool:
     return v not in ("0", "off", "false", "no")
 
 
-def axes_of(sharding, dim: int) -> tuple:
-    """Mesh axis names a NamedSharding uses on ``dim`` (flattened tuple)."""
-    if not isinstance(sharding, NamedSharding):
-        return ()
-    spec = sharding.spec
-    if dim >= len(spec):
+def axes_of(sharding, dim: int, mesh=None, ndim: int = None) -> tuple:
+    """Mesh axis names a sharding uses on ``dim`` (flattened tuple).
+
+    Accepts NamedSharding directly, and raw GSPMD/Hlo shardings (the
+    callbacks run with ``decode_shardings=False``: jax's own greedy
+    HloSharding->NamedSharding conversion RAISES on tilings whose device
+    factorisation does not follow mesh-axis order, e.g. a frames-major
+    tile on a (cfg, frames) mesh — propagation can legally produce those,
+    and an undecodable sharding must degrade to replication, not crash
+    the compile)."""
+    spec = None
+    if isinstance(sharding, NamedSharding):
+        spec = sharding.spec
+    elif mesh is not None and hasattr(sharding, "_to_xla_hlo_sharding"):
+        try:
+            from jax._src.sharding_impls import parse_flatten_op_sharding
+
+            # returns PartitionSpec directly (newer jax) or a Parsed
+            # wrapper with .get_partition_spec() (older)
+            parsed = parse_flatten_op_sharding(
+                sharding._to_xla_hlo_sharding(ndim), mesh
+            )[0]
+            spec = (
+                parsed.get_partition_spec()
+                if hasattr(parsed, "get_partition_spec")
+                else parsed
+            )
+        except Exception:
+            return ()
+    if spec is None or dim >= len(spec):
         return ()
     entry = spec[dim]
     if entry is None:
@@ -109,7 +133,7 @@ def default_sanitize(batch_dims, out_batch_dims, bank_ops=(), bank_dim=0):
     def sanitize(mesh, arg_shapes, result_shapes, statics):
         q = arg_shapes[0]
         qb = batch_dims[0]
-        axes = axes_of(q.sharding, qb)
+        axes = axes_of(q.sharding, qb, mesh, len(q.shape))
         b = q.shape[qb]
         if axes and b % prod_axes(mesh, axes) != 0:
             axes = ()  # uneven split: replicate rather than risk padding
@@ -269,6 +293,10 @@ def make_partitioned(
             infer_sharding_from_operands=infer,
             sharding_rule=rule_str,
             need_replication_factors=repl,
+            # raw shardings: jax's greedy named-sharding decode raises on
+            # legal-but-axis-reordered tilings; axes_of decodes with a
+            # replicate fallback instead
+            decode_shardings=False,
             **dict(fs_key),
         )
         return cp

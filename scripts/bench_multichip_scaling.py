@@ -121,8 +121,9 @@ def audit_collectives(modules, mesh, fused, steps=2):
         window_fusion=fused,
     )
     res, frames = 32, 8
+    clip_size = modules.clip.image_size
     ref_sds = jax.ShapeDtypeStruct((1, res, res, 3), jnp.uint8)
-    clip_sds = jax.ShapeDtypeStruct((1, 224, 224, 3), jnp.uint8)
+    clip_sds = jax.ShapeDtypeStruct((1, clip_size, clip_size, 3), jnp.uint8)
     poses_sds = jax.ShapeDtypeStruct((1, frames, res, res, 3), jnp.uint8)
     ctx_sh, _, banks_sh = jax.eval_shape(
         pipe._encode_reference,
@@ -132,7 +133,10 @@ def audit_collectives(modules, mesh, fused, steps=2):
         pipe._pose_features, modules.pose_guider_variables, poses_sds)
     sampler = pipe._build_sampler(frames, res // 8, res // 8, steps, 3.5, True)
     lat = jax.ShapeDtypeStruct((1, frames, res // 8, res // 8, 4), jnp.float32)
-    with mesh:
+    # lower under the pipeline's canonical 2-D mesh (Shardy wants ONE mesh
+    # per program; the caller's 1-D view would mix meshes once the
+    # partitioned Pallas kernels are present)
+    with pipe._mesh_ctx():
         txt = sampler.lower(
             modules.denoising_params, lat, ctx_sh, banks_sh, pose_sh
         ).compile().as_text()
